@@ -1,0 +1,356 @@
+"""Multi-head self-attention family.
+
+One configurable module covers the reference's 11 attention classes
+(models/attentions.py:29-1157): the variant is selected by the static attributes
+(linear_att, group_size, kernel_size, stride, relative_pos_enc) exactly like the
+reference's MultiHeadSelfAttentionModule selection table (models/modules.py:415-463).
+Because the attributes are static, jit traces only the branch in use.
+
+Differences from the reference (intentional, see SURVEY.md §7):
+  * the StridedLocalRelPos Qu/Qv swap (reference models/attentions.py:1113-1115)
+    is not replicated;
+  * the local rel_to_abs reshape that scrambles head/block axes for H > 1 is
+    replaced by the intended transpose (see ops/attention.py docstring);
+  * relative encodings are computed for the needed window instead of slicing a
+    max_pos_encoding-sized table (identical values).
+
+KV-cache ``hidden`` states for streaming decode are dicts {"k": (B, Th, D),
+"v": (B, Th, D)} with the same group-alignment semantics as the reference
+(models/attentions.py:656-668).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from efficientconformer_tpu.models.layers import Dense
+from efficientconformer_tpu.ops import attention as A
+from efficientconformer_tpu.ops import pos_enc as P
+from efficientconformer_tpu.ops import masks as M
+
+
+def _xavier_bias_init(num_heads: int, dim_head: int):
+    bound = math.sqrt(6.0 / (num_heads + dim_head))
+    def init(key, shape, dtype=jnp.float32):
+        import jax
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+class MultiHeadSelfAttention(nn.Module):
+    dim_model: int
+    num_heads: int
+    causal: bool = False
+    group_size: int = 1
+    kernel_size: Optional[int] = None   # local attention window
+    stride: int = 1                     # query stride
+    linear_att: bool = False
+    relative_pos_enc: bool = False
+    vn_std: Optional[float] = None
+
+    def _rel_bias(self, name: str, dim_head: int) -> jnp.ndarray:
+        return self.param(
+            name, _xavier_bias_init(self.num_heads, dim_head), (self.dim_model,)
+        )
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask=None, hidden=None):
+        d, h = self.dim_model, self.num_heads
+        g, s = self.group_size, self.stride
+        kw = self.kernel_size
+        t_in = x.shape[1]
+
+        q = Dense(d, name="query", vn_std=self.vn_std)(x)
+        k = Dense(d, name="key", vn_std=self.vn_std)(x)
+        v = Dense(d, name="value", vn_std=self.vn_std)(x)
+
+        new_hidden = None
+
+        # ------------------------------------------------ linear attention
+        if self.linear_att:
+            dh = d // h
+            qh = A.split_heads(q, h)
+            kh = A.split_heads(k, h)
+            vh = A.split_heads(v, h)
+            scale = dh ** 0.25
+            kv = jnp.einsum(
+                "bhtd,bhte->bhde", nn.softmax(kh / scale, axis=-2), vh
+            )
+            o = jnp.einsum("bhtd,bhde->bhte", nn.softmax(qh / scale, axis=-1), kv)
+            o = A.merge_heads(o)
+            return Dense(d, name="output", vn_std=self.vn_std)(o), None
+
+        # ------------------------------------------------ rel-pos variants
+        if self.relative_pos_enc:
+            u = self._rel_bias("u", (g * d) // h)
+            vbias = self._rel_bias("v", (g * d) // h)
+            pos_layer = Dense(d, name="pos")
+
+            if g > 1:
+                # grouped rel-pos (the Efficient Conformer signature op)
+                if hidden is not None:
+                    th = hidden["k"].shape[1]
+                    k_att = jnp.concatenate([hidden["k"][:, th % g :], k], axis=1)
+                    v_att = jnp.concatenate([hidden["v"][:, th % g :], v], axis=1)
+                    new_hidden = {
+                        "k": jnp.concatenate([hidden["k"], k], axis=1),
+                        "v": jnp.concatenate([hidden["v"], v], axis=1),
+                    }
+                else:
+                    k_att, v_att = k, v
+                    new_hidden = {"k": k, "v": v}
+                qp, pad_q = M.pad_to_multiple(q, g)
+                kp, _ = M.pad_to_multiple(k_att, g)
+                vp, _ = M.pad_to_multiple(v_att, g)
+                mask_p = M.pad_mask_to_multiple(mask, g)
+                t_pad = qp.shape[1]
+                hid_len = kp.shape[1] - t_pad
+                e = pos_layer(
+                    P.grouped_relative_encoding(
+                        t_pad, d, g, hidden_len=hid_len, causal=self.causal
+                    ).astype(x.dtype)
+                )
+                dh = g * d // h
+                qu = A.group_time(qp + u.astype(x.dtype), h, g)
+                qv = A.group_time(qp + vbias.astype(x.dtype), h, g)
+                kg = A.group_time(kp, h, g)
+                vg = A.group_time(vp, h, g)
+                eg = e.reshape(-1, h, dh)
+                att_k = jnp.matmul(qu, kg.transpose(0, 1, 3, 2))
+                att_e = jnp.einsum("bhqd,lhd->bhql", qv, eg)
+                att_e = (
+                    A.rel_to_abs_causal(att_e) if self.causal else A.rel_to_abs_full(att_e)
+                )
+                scores = (att_k + att_e) / math.sqrt(dh)
+                if mask_p is not None:
+                    mask_g = mask_p[:, :, ::g, ::g]
+                    scores = scores + mask_g * A.NEG_INF
+                o, _ = A.softmax_attention(scores, vg)
+                o = A.ungroup_time(o, d)[:, :t_in]
+                return Dense(d, name="output", vn_std=self.vn_std)(o), new_hidden
+
+            if kw is not None and s == 1:
+                # local rel-pos: non-overlapping blocks of size kw
+                qp, pad_q = M.pad_to_multiple(q, kw)
+                kp, _ = M.pad_to_multiple(k, kw)
+                vp, _ = M.pad_to_multiple(v, kw)
+                mask_p = _ensure_kv_mask(mask, t_in, kw)
+                dh = d // h
+                e = pos_layer(
+                    P.relative_encoding(kw, d, causal=self.causal).astype(x.dtype)
+                ).reshape(-1, h, dh)
+                qu = _split_blocks(qp + u.astype(x.dtype), kw, h)   # (B,N,H,K,dh)
+                qv = A.split_heads(qp + vbias.astype(x.dtype), h)   # (B,H,T,dh)
+                kb = _split_blocks(kp, kw, h)
+                vb = _split_blocks(vp, kw, h)
+                att_k = jnp.matmul(qu, kb.transpose(0, 1, 2, 4, 3))
+                rel = jnp.einsum("bhtd,lhd->bhtl", qv, e)
+                att_e = (
+                    A.rel_to_abs_local_causal(rel, kw)
+                    if self.causal
+                    else A.rel_to_abs_local_full(rel, kw)
+                )
+                # both att_k and att_e are (B, N, H, K, K)
+                scores = (att_k + att_e) / math.sqrt(dh)
+                if mask_p is not None:
+                    scores = scores + M.local_block_diagonal(mask_p, kw) * A.NEG_INF
+                o, _ = A.softmax_attention(scores, vb)
+                o = _merge_blocks(o, d)[:, :t_in]
+                return Dense(d, name="output", vn_std=self.vn_std)(o), new_hidden
+
+            if kw is None and s > 1:
+                # strided rel-pos: queries subsampled, full keys
+                if hidden is not None:
+                    k_att = jnp.concatenate([hidden["k"], k], axis=1)
+                    v_att = jnp.concatenate([hidden["v"], v], axis=1)
+                else:
+                    k_att, v_att = k, v
+                new_hidden = {"k": k_att, "v": v_att}
+                qp, pad_q = M.pad_to_multiple(q, s)
+                kp, _ = M.pad_to_multiple(k_att, s)
+                vp, _ = M.pad_to_multiple(v_att, s)
+                mask_p = M.pad_mask_to_multiple(mask, s)
+                qs = qp[:, ::s]
+                t_full = s * qs.shape[1]
+                hid_len = kp.shape[1] - t_full
+                dh = d // h
+                e = pos_layer(
+                    P.relative_encoding(
+                        t_full, d, hidden_len=hid_len, causal=self.causal
+                    ).astype(x.dtype)
+                ).reshape(-1, h, dh)
+                qu = A.split_heads(qs + u.astype(x.dtype), h)
+                qv = A.split_heads(qs + vbias.astype(x.dtype), h)
+                kh = A.split_heads(kp, h)
+                vh = A.split_heads(vp, h)
+                att_k = jnp.matmul(qu, kh.transpose(0, 1, 3, 2))
+                rel = jnp.einsum("bhqd,lhd->bhql", qv, e)
+                att_e = (
+                    A.rel_to_abs_strided_causal(rel, s)
+                    if self.causal
+                    else A.rel_to_abs_strided_full(rel, s)
+                )
+                scores = (att_k + att_e) / math.sqrt(dh)
+                if mask_p is not None:
+                    scores = scores + mask_p[:, :, ::s] * A.NEG_INF
+                o, _ = A.softmax_attention(scores, vh)
+                o = A.merge_heads(o)[:, : _ceil_div(t_in, s)]
+                return Dense(d, name="output", vn_std=self.vn_std)(o), new_hidden
+
+            if kw is not None and s > 1:
+                # strided local rel-pos
+                qp, pad_q = M.pad_to_multiple(q, kw)
+                kp, _ = M.pad_to_multiple(k, kw)
+                vp, _ = M.pad_to_multiple(v, kw)
+                mask_p = _ensure_kv_mask(mask, t_in, kw)
+                qs = qp[:, ::s]
+                dh = d // h
+                e = pos_layer(
+                    P.relative_encoding(kw, d, causal=self.causal).astype(x.dtype)
+                ).reshape(-1, h, dh)
+                qu = _split_blocks(qs + u.astype(x.dtype), kw // s, h)
+                qv = A.split_heads(qs + vbias.astype(x.dtype), h)
+                kb = _split_blocks(kp, kw, h)
+                vb = _split_blocks(vp, kw, h)
+                att_k = jnp.matmul(qu, kb.transpose(0, 1, 2, 4, 3))
+                rel = jnp.einsum("bhqd,lhd->bhql", qv, e)
+                att_e = (
+                    A.rel_to_abs_strided_local_causal(rel, kw, s)
+                    if self.causal
+                    else A.rel_to_abs_strided_local_full(rel, kw, s)
+                )
+                scores = (att_k + att_e) / math.sqrt(dh)
+                if mask_p is not None:
+                    mblk = M.local_block_diagonal(mask_p, kw)[:, :, :, ::s]
+                    scores = scores + mblk * A.NEG_INF
+                o, _ = A.softmax_attention(scores, vb)
+                o = _merge_blocks(o, d)[:, : _ceil_div(t_in, s)]
+                return Dense(d, name="output", vn_std=self.vn_std)(o), new_hidden
+
+            # plain rel-pos (Transformer-XL style)
+            if hidden is not None:
+                k = jnp.concatenate([hidden["k"], k], axis=1)
+                v = jnp.concatenate([hidden["v"], v], axis=1)
+            new_hidden = {"k": k, "v": v}
+            hid_len = k.shape[1] - q.shape[1]
+            dh = d // h
+            e = pos_layer(
+                P.relative_encoding(
+                    q.shape[1], d, hidden_len=hid_len, causal=self.causal
+                ).astype(x.dtype)
+            ).reshape(-1, h, dh)
+            qu = A.split_heads(q + u.astype(x.dtype), h)
+            qv = A.split_heads(q + vbias.astype(x.dtype), h)
+            kh = A.split_heads(k, h)
+            vh = A.split_heads(v, h)
+            att_k = jnp.matmul(qu, kh.transpose(0, 1, 3, 2))
+            rel = jnp.einsum("bhqd,lhd->bhql", qv, e)
+            att_e = (
+                A.rel_to_abs_causal(rel) if self.causal else A.rel_to_abs_full(rel)
+            )
+            scores = (att_k + att_e) / math.sqrt(dh)
+            if mask is not None:
+                scores = scores + mask * A.NEG_INF
+            o, _ = A.softmax_attention(scores, vh)
+            o = A.merge_heads(o)
+            return Dense(d, name="output", vn_std=self.vn_std)(o), new_hidden
+
+        # ------------------------------------------------ absolute variants
+        if g > 1:
+            qp, _ = M.pad_to_multiple(q, g)
+            kp, _ = M.pad_to_multiple(k, g)
+            vp, _ = M.pad_to_multiple(v, g)
+            mask_p = M.pad_mask_to_multiple(mask, g)
+            dh = g * d // h
+            qg = A.group_time(qp, h, g)
+            kg = A.group_time(kp, h, g)
+            vg = A.group_time(vp, h, g)
+            scores = jnp.matmul(qg, kg.transpose(0, 1, 3, 2)) / math.sqrt(dh)
+            if mask_p is not None:
+                scores = scores + mask_p[:, :, ::g, ::g] * A.NEG_INF
+            o, _ = A.softmax_attention(scores, vg)
+            o = A.ungroup_time(o, d)[:, :t_in]
+        elif kw is not None and s == 1:
+            qp, _ = M.pad_to_multiple(q, kw)
+            kp, _ = M.pad_to_multiple(k, kw)
+            vp, _ = M.pad_to_multiple(v, kw)
+            mask_p = _ensure_kv_mask(mask, t_in, kw)
+            dh = d // h
+            qb = _split_blocks(qp, kw, h)
+            kb = _split_blocks(kp, kw, h)
+            vb = _split_blocks(vp, kw, h)
+            scores = jnp.matmul(qb, kb.transpose(0, 1, 2, 4, 3)) / math.sqrt(dh)
+            if mask_p is not None:
+                scores = scores + M.local_block_diagonal(mask_p, kw) * A.NEG_INF
+            o, _ = A.softmax_attention(scores, vb)
+            o = _merge_blocks(o, d)[:, :t_in]
+        elif kw is not None and s > 1:
+            qp, _ = M.pad_to_multiple(q, kw)
+            kp, _ = M.pad_to_multiple(k, kw)
+            vp, _ = M.pad_to_multiple(v, kw)
+            mask_p = _ensure_kv_mask(mask, t_in, kw)
+            dh = d // h
+            qb = _split_blocks(qp[:, ::s], kw // s, h)
+            kb = _split_blocks(kp, kw, h)
+            vb = _split_blocks(vp, kw, h)
+            scores = jnp.matmul(qb, kb.transpose(0, 1, 2, 4, 3)) / math.sqrt(dh)
+            if mask_p is not None:
+                mblk = M.local_block_diagonal(mask_p, kw)[:, :, :, ::s]
+                scores = scores + mblk * A.NEG_INF
+            o, _ = A.softmax_attention(scores, vb)
+            o = _merge_blocks(o, d)[:, : _ceil_div(t_in, s)]
+        elif s > 1:
+            dh = d // h
+            qh = A.split_heads(q[:, ::s], h)
+            kh = A.split_heads(k, h)
+            vh = A.split_heads(v, h)
+            scores = jnp.matmul(qh, kh.transpose(0, 1, 3, 2)) / math.sqrt(dh)
+            if mask is not None:
+                scores = scores + mask[:, :, ::s] * A.NEG_INF
+            o, _ = A.softmax_attention(scores, vh)
+            o = A.merge_heads(o)
+        else:
+            dh = d // h
+            qh = A.split_heads(q, h)
+            kh = A.split_heads(k, h)
+            vh = A.split_heads(v, h)
+            scores = jnp.matmul(qh, kh.transpose(0, 1, 3, 2)) / math.sqrt(dh)
+            if mask is not None:
+                scores = scores + mask * A.NEG_INF
+            o, _ = A.softmax_attention(scores, vh)
+            o = A.merge_heads(o)
+        return Dense(d, name="output", vn_std=self.vn_std)(o), new_hidden
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _split_blocks(x: jnp.ndarray, block: int, num_heads: int) -> jnp.ndarray:
+    """(B, T, D) -> (B, T//block, H, block, D/H)."""
+    b, t, d = x.shape
+    dh = d // num_heads
+    return x.reshape(b, t // block, block, num_heads, dh).transpose(0, 1, 3, 2, 4)
+
+
+def _merge_blocks(x: jnp.ndarray, dim_model: int) -> jnp.ndarray:
+    """(B, N, H, K, dh) -> (B, N*K, D)."""
+    b, n, h, k, dh = x.shape
+    return x.transpose(0, 1, 3, 2, 4).reshape(b, n * k, dim_model)
+
+
+def _ensure_kv_mask(mask, t_in: int, chunk: int):
+    """Pad a mask to a multiple of chunk; create a pure-padding mask when the
+    input needs chunk padding but no mask was given (reference
+    models/attentions.py:133-136)."""
+    if mask is None:
+        if t_in % chunk == 0:
+            return None
+        pad = (-t_in) % chunk
+        base = jnp.zeros((1, 1, 1, t_in), jnp.float32)
+        return jnp.pad(base, ((0, 0), (0, 0), (0, 0), (0, pad)), constant_values=1.0)
+    return M.pad_mask_to_multiple(mask, chunk)

@@ -59,8 +59,11 @@ def local_block_diagonal(mask: jnp.ndarray, kernel_size: int) -> jnp.ndarray:
     Returns (B, T // K, 1, K, K) — the per-block masks used by local attention
     (reference models/attentions.py:259-263 does this with a Python loop + stack).
     """
-    b, h, t, _ = mask.shape
-    n = t // kernel_size
+    b, h, tq, tk = mask.shape
+    n = tk // kernel_size
+    if tq == 1:
+        # padding-only mask: block along keys, broadcast over in-block queries
+        return mask.reshape(b, h, 1, n, kernel_size).transpose(0, 3, 1, 2, 4)
     blocks = mask.reshape(b, h, n, kernel_size, n, kernel_size)
     # diagonal over the two block axes -> (B, H, K, K, N)
     diag = jnp.diagonal(blocks, axis1=2, axis2=4)
