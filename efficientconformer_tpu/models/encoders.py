@@ -1,0 +1,105 @@
+"""Conformer encoder (reference models/encoders.py).
+
+Pipeline: log-mel frontend -> SpecAugment (train) -> conv subsampling ->
+padding/streaming mask -> linear projection -> dropout -> [abs pos enc] ->
+N ConformerBlocks with per-stage widths/heads/kernels resolved by
+``config.resolve_block_configs``. After each strided block the mask is
+sliced ``[::stride, ::stride]`` and x_len updated ``(l-1)//stride + 1``
+(reference models/encoders.py:132-140).
+
+The whole encoder is one jit-compiled function of statically-shaped inputs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from efficientconformer_tpu.config import resolve_block_configs
+from efficientconformer_tpu.models.blocks import ConformerBlock
+from efficientconformer_tpu.models.layers import Dense
+from efficientconformer_tpu.models.modules import (
+    SUBSAMPLING,
+    AudioPreprocessing,
+    SpecAugment,
+)
+from efficientconformer_tpu.ops.masks import streaming_mask
+from efficientconformer_tpu.ops.pos_enc import absolute_encoding
+
+
+class ConformerEncoder(nn.Module):
+    params: dict                      # raw encoder_params (reference schema)
+    vocab_size: Optional[int] = None  # set for the InterCTC variant
+    interctc_blocks: tuple = ()
+    vn_std: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, x, x_len=None, train: bool = False):
+        """x: (B, T_audio) raw waveform. Returns (x, x_len, interctc_probs)."""
+        p = self.params
+        blocks = resolve_block_configs(p)
+
+        # Frontend + SpecAugment (device ops)
+        x, x_len = AudioPreprocessing(
+            sample_rate=p["sample_rate"],
+            n_fft=p["n_fft"],
+            win_length_ms=p["win_length_ms"],
+            hop_length_ms=p["hop_length_ms"],
+            n_mels=p["n_mels"],
+            normalize=p["normalize"],
+            mean=p["mean"],
+            std=p["std"],
+            name="preprocessing",
+        )(x, x_len)
+        x = SpecAugment(
+            spec_augment=p["spec_augment"],
+            mF=p["mF"], F=p["F"], mT=p["mT"], pS=p["pS"],
+            name="augment",
+        )(x, x_len, train)
+
+        # Subsampling
+        x, x_len = SUBSAMPLING[p["subsampling_module"]](
+            num_layers=p["subsampling_layers"],
+            filters=p["subsampling_filters"],
+            kernel_size=p["subsampling_kernel_size"],
+            norm=p["subsampling_norm"],
+            act=p["subsampling_act"],
+            name="subsampling",
+        )(x, x_len, train)
+
+        # Padding / streaming mask (encoder default: full context)
+        left = p.get("left_context", p["max_pos_encoding"])
+        right = 0 if p.get("causal", False) else p.get(
+            "right_context", p["max_pos_encoding"]
+        )
+        mask = streaming_mask(x.shape[1], x_len, left, right)
+
+        # Linear projection + dropout
+        dim0 = blocks[0].dim_model
+        x = Dense(dim0, name="linear")(x)
+        x = nn.Dropout(p["Pdrop"], deterministic=not train)(x)
+
+        # Absolute positional encoding (only when not using rel-pos attention)
+        if not p["relative_pos_enc"]:
+            x = x + absolute_encoding(x.shape[1], dim0).astype(x.dtype)[None]
+
+        interctc_probs = []
+        for i, cfg in enumerate(blocks):
+            x, _ = ConformerBlock(cfg, vn_std=self.vn_std, name=f"block_{i}")(
+                x, mask, None, train
+            )
+            if cfg.stride > 1:
+                if mask is not None:
+                    mask = mask[:, :, :: cfg.stride, :: cfg.stride]
+                if x_len is not None:
+                    x_len = (x_len - 1) // cfg.stride + 1
+            if i in self.interctc_blocks:
+                probs = nn.softmax(
+                    Dense(self.vocab_size, name=f"interctc_fc_{i}")(x), axis=-1
+                )
+                interctc_probs.append(probs)
+                x = x + Dense(cfg.dim_expand, name=f"interctc_proj_{i}")(probs)
+
+        return x, x_len, interctc_probs
