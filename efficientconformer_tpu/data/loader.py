@@ -1,0 +1,181 @@
+"""Bucketed, statically-shaped batch loader.
+
+XLA compiles one program per input shape, so the reference's
+sort-by-length-and-pad-to-batch-max collate (utils/preprocessing.py:27-64) would
+recompile on nearly every batch. Instead, utterances are grouped into a small
+fixed set of (audio_len, label_len) buckets; each batch is padded to its
+bucket's static shape, giving a handful of compiled programs and minimal pad
+waste (lengths are sorted within buckets like the reference's sort).
+
+Batches are dicts of numpy arrays. For gradient accumulation, ``accum``
+microbatches are stacked into a leading axis (matching the trainer's scan).
+A background thread prefetches and overlaps host decode with device compute.
+"""
+
+from __future__ import annotations
+
+import math
+import queue
+import random
+import threading
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+def make_buckets(max_value: int, n_buckets: int, min_value: int = 0) -> List[int]:
+    """Linear bucket boundaries (inclusive upper edges)."""
+    step = math.ceil((max_value - min_value) / n_buckets)
+    return [min_value + step * (i + 1) for i in range(n_buckets)]
+
+
+def bucket_of(value: int, edges: Sequence[int]) -> int:
+    for i, e in enumerate(edges):
+        if value <= e:
+            return i
+    return len(edges) - 1
+
+
+class AsrBatchLoader:
+    """Batches a LibriSpeechDataset into static-shape ASR batches."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        *,
+        accum_steps: int = 1,
+        n_audio_buckets: int = 8,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.accum = accum_steps
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+
+        lens = [(u.audio_len, u.label_len) for u in dataset.utterances]
+        max_audio = max(l[0] for l in lens)
+        self.audio_edges = make_buckets(max_audio, n_audio_buckets)
+        # per audio bucket, the max label length defines the label pad
+        self.label_pad = {}
+        for al, ll in lens:
+            b = bucket_of(al, self.audio_edges)
+            self.label_pad[b] = max(self.label_pad.get(b, 1), ll)
+
+    def __len__(self):
+        return len(self.dataset) // (self.batch_size * self.accum)
+
+    def _index_batches(self, epoch: int) -> List[List[int]]:
+        rng = random.Random(self.seed + epoch)
+        order = list(range(len(self.dataset)))
+        if self.shuffle:
+            rng.shuffle(order)
+        buckets: dict[int, List[int]] = {}
+        batches: List[List[int]] = []
+        micro = self.batch_size
+        for i in order:
+            b = bucket_of(self.dataset.utterances[i].audio_len, self.audio_edges)
+            buckets.setdefault(b, []).append(i)
+            if len(buckets[b]) == micro * self.accum:
+                batches.append((b, buckets.pop(b)))
+        if not self.drop_last:
+            for b, idxs in buckets.items():
+                if idxs:
+                    batches.append((b, idxs))
+        if self.shuffle:
+            rng.shuffle(batches)
+        return batches
+
+    def _materialise(self, bucket: int, idxs: List[int]):
+        audio_pad = self.audio_edges[bucket]
+        label_pad = self.label_pad[bucket]
+        n = len(idxs)
+        audio = np.zeros((n, audio_pad), np.float32)
+        labels = np.zeros((n, label_pad), np.int32)
+        audio_len = np.zeros((n,), np.int32)
+        label_len = np.zeros((n,), np.int32)
+        for j, i in enumerate(idxs):
+            a, l = self.dataset[i]
+            audio[j, : len(a)] = a
+            labels[j, : len(l)] = l
+            audio_len[j] = len(a)
+            label_len[j] = len(l)
+        micro = self.batch_size
+        a_steps = len(idxs) // micro
+        def stack(x):
+            return x[: a_steps * micro].reshape((a_steps, micro) + x.shape[1:])
+        return {
+            "audio": stack(audio),
+            "labels": stack(labels),
+            "audio_len": stack(audio_len),
+            "label_len": stack(label_len),
+        }
+
+    def epoch(self, epoch: int = 0) -> Iterator[dict]:
+        batches = self._index_batches(epoch)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            for b, idxs in batches:
+                q.put(self._materialise(b, idxs))
+            q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+
+
+class LmBatchLoader:
+    """Batches a token-sequence dataset into LM batches
+    (reference collate LM branch, utils/preprocessing.py:48-60): tokens (B, U)
+    0-padded; targets (B, U+1) = tokens shifted with a trailing 0, -1 padded."""
+
+    def __init__(self, dataset, batch_size: int, max_len: int,
+                 *, accum_steps: int = 1, shuffle: bool = True, seed: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.max_len = max_len
+        self.accum = accum_steps
+        self.shuffle = shuffle
+        self.seed = seed
+
+    def __len__(self):
+        return len(self.dataset) // (self.batch_size * self.accum)
+
+    def epoch(self, epoch: int = 0) -> Iterator[dict]:
+        rng = random.Random(self.seed + epoch)
+        order = list(range(len(self.dataset)))
+        if self.shuffle:
+            rng.shuffle(order)
+        micro, accum = self.batch_size, self.accum
+        group = micro * accum
+        for start in range(0, len(order) - group + 1, group):
+            idxs = order[start : start + group]
+            u = self.max_len
+            tokens = np.zeros((group, u), np.int32)
+            token_len = np.zeros((group,), np.int32)
+            targets = np.full((group, u + 1), -1, np.int32)
+            for j, i in enumerate(idxs):
+                ids = self.dataset[i][:u]
+                tokens[j, : len(ids)] = ids
+                token_len[j] = len(ids)
+                targets[j, : len(ids)] = ids
+                targets[j, len(ids)] = 0  # trailing blank/eos like the reference
+            def stack(x):
+                return x.reshape((accum, micro) + x.shape[1:])
+            yield {
+                "tokens": stack(tokens),
+                "token_len": stack(token_len),
+                "targets": stack(targets),
+            }

@@ -1,0 +1,162 @@
+"""Transducer model (reference models/transducer.py).
+
+Encoder + prediction network + joint. The training pass produces the full
+(B, T, U+1, V) joint lattice for the RNN-T loss. Greedy decoding is a single
+jit-compiled ``lax.while_loop`` over lock-stepped per-sample state machines —
+the reference's per-sample host Python loop (transducer.py:139-186) is the #1
+latency bottleneck this redesign removes. Beam search with LM fusion lives in
+``decoding/rnnt_beam.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from efficientconformer_tpu.models.decoders import DECODERS, RnnDecoder
+from efficientconformer_tpu.models.encoders import ConformerEncoder
+from efficientconformer_tpu.models.joint_networks import JointNetwork
+
+
+class Transducer(nn.Module):
+    encoder_params: dict
+    decoder_params: dict
+    joint_params: dict
+    vocab_size: int
+    vn_std: Optional[float] = None   # variational noise on the prediction net
+
+    def setup(self):
+        self.encoder = ConformerEncoder(params=self.encoder_params, name="encoder")
+        self.decoder = DECODERS[self.decoder_params["arch"]](
+            params=self.decoder_params, vn_std=self.vn_std, name="decoder"
+        )
+        self.joint_network = JointNetwork(
+            vocab_size=self.vocab_size,
+            params=self.joint_params,
+            vn_std=self.vn_std,
+            name="joint_network",
+        )
+
+    def __call__(self, x, y, x_len, y_len, train: bool = False):
+        """Full lattice pass for training.
+
+        y (B, U) labels; a leading blank is prepended internally
+        (reference transducer.py:96-98). Returns (logits (B, T, U+1, V), f_len).
+        """
+        f, f_len, _ = self.encoder(x, x_len, train)
+        y_in = jnp.pad(y, ((0, 0), (1, 0)))  # blank-start
+        g = self.decoder(y_in, y_len + 1, train)
+        logits = self.joint_network(f, g)
+        return logits, f_len
+
+    def encode(self, x, x_len, train: bool = False):
+        return self.encoder(x, x_len, train)
+
+    def decode_step(self, y_t, carry):
+        """One prediction-network step: (B,) tokens -> ((B, Dd), carry)."""
+        return self.decoder.step(y_t, carry)
+
+    def joint_step(self, f_t, g_t):
+        """(B, De) x (B, Dd) -> (B, V)."""
+        return self.joint_network.step(f_t, g_t)
+
+    def decoder_init_carry(self, batch: int):
+        return self.decoder.init_carry(batch)
+
+
+def greedy_decode(
+    model: Transducer,
+    variables,
+    x: jnp.ndarray,
+    x_len: jnp.ndarray,
+    max_tokens: int,
+    max_consec_dec_steps: int = 5,
+):
+    """Batched label-synchronous greedy decode, fully on device.
+
+    Per-sample state machine (semantics of reference transducer.py:148-186):
+    at (frame t, decoder output g): pred = argmax joint(f_t, g);
+    blank or consecutive-emission cap -> advance frame; token -> append token,
+    advance decoder. All samples step in lock-step inside one lax.while_loop;
+    finished samples idle until the last one drains.
+
+    Returns (tokens (B, max_tokens), counts (B,)).
+    """
+    f, f_len, _ = model.apply(variables, x, x_len, False, method=Transducer.encode)
+    b = f.shape[0]
+
+    def dec_step(tok, carry):
+        return model.apply(variables, tok, carry, method=Transducer.decode_step)
+
+    def joint_step(f_t, g_t):
+        return model.apply(variables, f_t, g_t, method=Transducer.joint_step)
+
+    carry0 = model.apply(variables, b, method=Transducer.decoder_init_carry)
+    g0, carry0 = dec_step(jnp.zeros((b,), jnp.int32), carry0)
+
+    state = dict(
+        t=jnp.zeros((b,), jnp.int32),
+        consec=jnp.zeros((b,), jnp.int32),
+        g=g0,
+        carry=carry0,
+        tokens=jnp.zeros((b, max_tokens), jnp.int32),
+        n_tok=jnp.zeros((b,), jnp.int32),
+    )
+
+    def cond(s):
+        return jnp.any(s["t"] < f_len)
+
+    def body(s):
+        active = s["t"] < f_len
+        f_t = f[jnp.arange(b), jnp.minimum(s["t"], f.shape[1] - 1)]
+        logits = joint_step(f_t, s["g"])
+        pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        emit = (
+            active
+            & (pred != 0)
+            & (s["consec"] < max_consec_dec_steps)
+            & (s["n_tok"] < max_tokens)
+        )
+        advance = active & ~emit
+
+        # commit emitted tokens
+        pos = jnp.where(emit, s["n_tok"], max_tokens)
+        tokens = s["tokens"].at[jnp.arange(b), pos].set(pred, mode="drop")
+        n_tok = s["n_tok"] + emit.astype(jnp.int32)
+
+        # advance prediction net only where a token was emitted
+        g_new, carry_new = dec_step(jnp.where(emit, pred, 0), s["carry"])
+        g = jnp.where(emit[:, None], g_new, s["g"])
+        carry = jax.tree.map(
+            lambda new, old: jnp.where(_bcast(emit, new), new, old),
+            carry_new,
+            s["carry"],
+        )
+
+        return dict(
+            t=s["t"] + advance.astype(jnp.int32),
+            consec=jnp.where(emit, s["consec"] + 1, 0),
+            g=g,
+            carry=carry,
+            tokens=tokens,
+            n_tok=n_tok,
+        )
+
+    out = jax.lax.while_loop(cond, body, state)
+    return out["tokens"], out["n_tok"]
+
+
+def _bcast(emit: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Broadcast a (B,) bool along the batch axis of ``target``.
+
+    Decoder carries are either (num_layers, B, H) LSTM states or (B, Th, D)
+    KV caches; the batch axis is the one matching emit's length."""
+    for axis in range(target.ndim):
+        if target.shape[axis] == emit.shape[0]:
+            shape = [1] * target.ndim
+            shape[axis] = emit.shape[0]
+            return emit.reshape(shape)
+    raise ValueError(f"no batch axis in {target.shape}")

@@ -1,0 +1,107 @@
+"""Tokenizer, WER, schedules, loader unit tests (host-side, no jit)."""
+
+import numpy as np
+import pytest
+
+from efficientconformer_tpu.data.tokenizer import BpeTokenizer, train_bpe
+from efficientconformer_tpu.data.loader import LmBatchLoader, make_buckets, bucket_of
+from efficientconformer_tpu.utils.metrics import wer
+from efficientconformer_tpu.training import schedules
+
+
+def test_bpe_roundtrip():
+    corpus = [
+        "the cat sat on the mat",
+        "the dog sat on the log",
+        "a cat and a dog",
+    ] * 20
+    tok = train_bpe(corpus, vocab_size=64)
+    assert tok.vocab_size() <= 64
+    for line in corpus[:3]:
+        ids = tok.encode(line)
+        assert all(0 < i < tok.vocab_size() for i in ids)
+        assert tok.decode(ids) == line
+    # batch decode
+    assert tok.decode([tok.encode("the cat"), tok.encode("a dog")]) == [
+        "the cat", "a dog",
+    ]
+
+
+def test_bpe_merges_compress():
+    corpus = ["aaab aaab aaab bbbb"] * 50
+    tok = train_bpe(corpus, vocab_size=20)
+    # frequent word should compress to very few pieces
+    assert len(tok.encode("aaab")) <= 2
+
+
+def test_bpe_unk_and_save_load(tmp_path):
+    tok = train_bpe(["ab ab ab"], vocab_size=10)
+    ids = tok.encode("xyz")
+    assert ids.count(0) == 3              # unseen chars -> <unk>
+    assert tok.decode(ids) == ""          # unk_surface "" like the reference
+    p = tmp_path / "tok.model"
+    tok.save(str(p))
+    tok2 = BpeTokenizer.load(str(p))
+    assert tok2.encode("ab ab") == tok.encode("ab ab")
+
+
+def test_wer():
+    assert wer(["a b c"], ["a b c"]) == 0.0
+    assert wer(["a b c"], ["a x c"]) == pytest.approx(1 / 3)
+    assert wer(["a b c", "d e"], ["a b", "d e f"]) == pytest.approx(2 / 5)
+    assert wer(["Hello World"], ["hello world"]) == 0.0
+
+
+def test_transformer_schedule_values():
+    fn = schedules.transformer_lr(240, 10000, 2)
+    # warmup phase: lr = K * d^-.5 * s * warmup^-1.5
+    s = 100
+    want = 2 * 240 ** -0.5 * (s + 1) * 10000 ** -1.5
+    np.testing.assert_allclose(float(fn(s)), want, rtol=1e-6)
+    # decay phase
+    s = 20000
+    want = 2 * 240 ** -0.5 * (s + 1) ** -0.5
+    np.testing.assert_allclose(float(fn(s)), want, rtol=1e-6)
+
+
+def test_cosine_schedule_values():
+    fn = schedules.cosine_annealing_lr(1000, 6e-4, 6e-5, 300000)
+    np.testing.assert_allclose(float(fn(499)), 500 / 1000 * 6e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(fn(299999)), 6e-5, rtol=1e-4)
+
+
+def test_constant_with_decay():
+    fn = schedules.constant_with_decay_lr([1.0, 0.5, 0.1], [10, 20])
+    assert float(fn(5)) == pytest.approx(1.0)
+    assert float(fn(11)) == pytest.approx(0.5)
+    assert float(fn(25)) == pytest.approx(0.1)
+
+
+def test_buckets():
+    edges = make_buckets(100, 4)
+    assert len(edges) == 4 and edges[-1] >= 100
+    assert bucket_of(1, edges) == 0
+    assert bucket_of(100, edges) == 3
+
+
+def test_lm_loader():
+    class Ds:
+        def __len__(self):
+            return 8
+        def __getitem__(self, i):
+            return np.arange(1, 2 + i % 3, dtype=np.int32)
+
+    loader = LmBatchLoader(Ds(), batch_size=2, max_len=4, accum_steps=2,
+                           shuffle=False)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["tokens"].shape == (2, 2, 4)
+    assert b["targets"].shape == (2, 2, 5)
+    # target = tokens then 0, padded -1
+    tok = b["tokens"][0, 1]
+    tgt = b["targets"][0, 1]
+    n = b["token_len"][0, 1]
+    assert (tgt[:n] == tok[:n]).all()
+    assert tgt[n] == 0
+    assert (tgt[n + 1 :] == -1).all()

@@ -1,0 +1,142 @@
+"""ConformerEncoder integration: shapes, length propagation, padding invariance."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from efficientconformer_tpu.models.encoders import ConformerEncoder
+from efficientconformer_tpu.config import resolve_block_configs
+
+TINY = {
+    "arch": "Conformer",
+    "num_blocks": 5,
+    "dim_model": [16, 24, 32],
+    "ff_ratio": 2,
+    "num_heads": 2,
+    "kernel_size": 7,
+    "Pdrop": 0.0,
+    "conv_stride": 2,
+    "att_stride": 1,
+    "strided_blocks": [1, 3],
+    "expand_blocks": [1, 3],
+    "att_group_size": [3, 1, 1],
+    "relative_pos_enc": True,
+    "max_pos_encoding": 512,
+    "subsampling_module": "Conv2d",
+    "subsampling_layers": 1,
+    "subsampling_filters": [16],
+    "subsampling_kernel_size": 3,
+    "subsampling_norm": "batch",
+    "subsampling_act": "swish",
+    "sample_rate": 16000,
+    "win_length_ms": 25,
+    "hop_length_ms": 10,
+    "n_fft": 512,
+    "n_mels": 80,
+    "normalize": False,
+    "mean": 0.0,
+    "std": 1.0,
+    "spec_augment": True,
+    "mF": 1,
+    "F": 10,
+    "mT": 2,
+    "pS": 0.05,
+}
+
+
+def lengths_after(audio_len, p=TINY):
+    l = audio_len // 160 + 1
+    for _ in range(p["subsampling_layers"]):
+        l = (l - 1) // 2 + 1
+    for b in resolve_block_configs(p):
+        if b.stride > 1:
+            l = (l - 1) // b.stride + 1
+    return l
+
+
+def test_block_config_resolution():
+    blocks = resolve_block_configs(TINY)
+    assert [b.dim_model for b in blocks] == [16, 16, 24, 24, 32]
+    assert [b.dim_expand for b in blocks] == [16, 24, 24, 32, 32]
+    assert [b.stride for b in blocks] == [1, 2, 1, 2, 1]
+    assert [b.att_group_size for b in blocks] == [3, 3, 1, 1, 1]
+
+
+def test_forward_shapes_and_lengths():
+    enc = ConformerEncoder(params=TINY)
+    t_audio = 4800
+    x = jnp.array(np.random.default_rng(0).standard_normal((2, t_audio)), jnp.float32)
+    x_len = jnp.array([t_audio, 3000])
+    vars_ = enc.init(jax.random.PRNGKey(0), x, x_len)
+    out, out_len, interctc = enc.apply(vars_, x, x_len, False)
+    assert out.shape[0] == 2 and out.shape[2] == 32
+    assert int(out_len[0]) == lengths_after(t_audio)
+    assert int(out_len[1]) == lengths_after(3000)
+    assert interctc == []
+
+
+def test_eval_padding_invariance_block_stack():
+    """Zero-padding features must not change block-stack outputs at valid
+    positions (eval mode). Exact invariance holds at the block level because
+    pad-position inputs are identical zeros in both versions and attention is
+    key-masked; the audio frontend itself is not pad-neutral (reflect-pad STFT
+    boundary), matching the reference's behaviour.
+    """
+    from flax import linen as nn
+    from efficientconformer_tpu.models.blocks import ConformerBlock
+    from efficientconformer_tpu.ops.masks import streaming_mask
+
+    blocks = resolve_block_configs(TINY)[:4]
+
+    class Stack(nn.Module):
+        @nn.compact
+        def __call__(self, x, x_len, train=False):
+            mask = streaming_mask(x.shape[1], x_len, 512, 512)
+            for i, cfg in enumerate(blocks):
+                x, _ = ConformerBlock(cfg, name=f"b{i}")(x, mask, None, train)
+                if cfg.stride > 1:
+                    mask = mask[:, :, :: cfg.stride, :: cfg.stride]
+                    x_len = (x_len - 1) // cfg.stride + 1
+            return x, x_len
+
+    stack = Stack()
+    t_real = 18
+    x = jnp.array(np.random.default_rng(1).standard_normal((1, t_real, 16)), jnp.float32)
+    x_len = jnp.array([t_real])
+    vars_ = stack.init(jax.random.PRNGKey(0), x, x_len)
+    out1, len1 = stack.apply(vars_, x, x_len)
+    xp = jnp.pad(x, ((0, 0), (0, 6), (0, 0)))
+    out2, len2 = stack.apply(vars_, xp, x_len)
+    n = int(len1[0])
+    assert int(len2[0]) == n
+    np.testing.assert_allclose(
+        np.asarray(out1)[0, :n], np.asarray(out2)[0, :n], atol=2e-4
+    )
+
+
+def test_interctc_taps():
+    enc = ConformerEncoder(params=TINY, vocab_size=11, interctc_blocks=(2,))
+    x = jnp.array(np.random.default_rng(2).standard_normal((1, 1600)), jnp.float32)
+    x_len = jnp.array([1600])
+    vars_ = enc.init(jax.random.PRNGKey(0), x, x_len)
+    out, out_len, interctc = enc.apply(vars_, x, x_len, False)
+    assert len(interctc) == 1
+    assert interctc[0].shape[-1] == 11
+    np.testing.assert_allclose(np.asarray(interctc[0]).sum(-1), 1.0, atol=1e-5)
+
+
+def test_train_mode_runs_with_rngs():
+    enc = ConformerEncoder(params=TINY)
+    x = jnp.array(np.random.default_rng(3).standard_normal((2, 1600)), jnp.float32)
+    x_len = jnp.array([1600, 1200])
+    vars_ = enc.init(jax.random.PRNGKey(0), x, x_len)
+    out, out_len, _ = enc.apply(
+        vars_,
+        x,
+        x_len,
+        True,
+        rngs={"dropout": jax.random.PRNGKey(1), "augment": jax.random.PRNGKey(2)},
+        mutable=["batch_stats"],
+    )[0]
+    assert np.all(np.isfinite(np.asarray(out)))
