@@ -59,6 +59,13 @@ class ConformerEncoder(nn.Module):
             name="augment",
         )(x, x_len, train)
 
+        # Optional low-precision compute policy: frontend stays fp32 (log-mel
+        # overflow guard), everything after runs in bf16 on the MXU; params
+        # remain fp32 masters (layers cast weights to the activation dtype).
+        compute_dtype = p.get("compute_dtype")
+        if compute_dtype:
+            x = x.astype(jnp.dtype(compute_dtype))
+
         # Subsampling
         x, x_len = SUBSAMPLING[p["subsampling_module"]](
             num_layers=p["subsampling_layers"],

@@ -1,0 +1,301 @@
+"""Runtime mode dispatch (reference main.py:27-178 + Model.evaluate /
+eval_time* / swa, models/model.py:386-726).
+
+Wires config -> tokenizer -> datasets -> Trainer and runs the requested mode.
+Evaluation decodes on device (batched greedy CTC / transducer), detokenises and
+scores WER on host.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from efficientconformer_tpu.config import Config, load_config
+from efficientconformer_tpu.data.datasets import LibriSpeechDataset
+from efficientconformer_tpu.data.loader import AsrBatchLoader
+from efficientconformer_tpu.data.tokenizer import BpeTokenizer
+from efficientconformer_tpu.models import model_ctc as ctc_mod
+from efficientconformer_tpu.models import transducer as rnnt_mod
+from efficientconformer_tpu.training.trainer import Trainer
+from efficientconformer_tpu.training import checkpoint
+from efficientconformer_tpu.utils.metrics import wer
+
+# mode -> (train split, eval split); mirrors reference functions.py:85-227
+EVAL_SPLITS = {
+    "training": "dev-clean",
+    "training-clean": "dev-clean",
+    "validation-clean": "dev-clean",
+    "validation-other": "dev-other",
+    "test-clean": "test-clean",
+    "test-other": "test-other",
+    "eval_time": "dev-clean",
+    "eval_time_encoder": "dev-clean",
+    "eval_time_decoder": "dev-clean",
+}
+TRAIN_SPLITS = {"training": "train", "training-clean": "train-clean"}
+
+
+def load_tokenizer(config: Config) -> Optional[BpeTokenizer]:
+    path = config.tokenizer_params.get("tokenizer_path")
+    try:
+        return BpeTokenizer.load(path)
+    except (FileNotFoundError, TypeError, json.JSONDecodeError):
+        print("Tokenizer not found...")
+        return None
+
+
+def example_microbatch(config: Config, batch_size: int = 2):
+    """Tiny statically-shaped batch for parameter initialisation."""
+    if config.model_type == "LM":
+        u = 16
+        return {
+            "tokens": np.zeros((batch_size, u), np.int32),
+            "token_len": np.full((batch_size,), u, np.int32),
+            "targets": np.zeros((batch_size, u + 1), np.int32),
+        }
+    t, u = 16000, 16
+    return {
+        "audio": np.zeros((batch_size, t), np.float32),
+        "labels": np.ones((batch_size, u), np.int32),
+        "audio_len": np.full((batch_size,), t, np.int32),
+        "label_len": np.full((batch_size,), u, np.int32),
+    }
+
+
+def decode_batch(trainer: Trainer, state, batch, tokenizer,
+                 max_consec: int = 5):
+    """Greedy decode one eval microbatch -> list[str]."""
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if config_is_transducer(trainer.config):
+        max_tokens = max(int(batch["label_len"].max()) * 2 + 8, 32)
+        toks, n = rnnt_mod.greedy_decode(
+            trainer.model, variables,
+            jnp.asarray(batch["audio"]), jnp.asarray(batch["audio_len"]),
+            max_tokens=max_tokens, max_consec_dec_steps=max_consec,
+        )
+    else:
+        toks, n = ctc_mod.greedy_decode(
+            trainer.model, variables,
+            jnp.asarray(batch["audio"]), jnp.asarray(batch["audio_len"]),
+        )
+    toks, n = np.asarray(toks), np.asarray(n)
+    return tokenizer.decode([toks[b, : n[b]].tolist() for b in range(len(n))])
+
+
+def config_is_transducer(config: Config) -> bool:
+    return config.model_type == "Transducer"
+
+
+def evaluate(trainer: Trainer, state, dataset, tokenizer, *,
+             batch_size: int = 8, eval_steps: Optional[int] = None,
+             verbose: bool = False, max_consec: int = 5):
+    """Greedy evaluation -> (wer, truths, preds). Reference model.py:386-490."""
+    loader = AsrBatchLoader(dataset, batch_size, shuffle=False, drop_last=False)
+    truths, preds = [], []
+    for i, batch in enumerate(loader.epoch(0)):
+        mb = {k: v.reshape((-1,) + v.shape[2:]) for k, v in batch.items()}
+        batch_preds = decode_batch(trainer, state, mb, tokenizer, max_consec)
+        batch_truths = tokenizer.decode(
+            [mb["labels"][b, : mb["label_len"][b]].tolist()
+             for b in range(len(batch_preds))]
+        )
+        preds += batch_preds
+        truths += batch_truths
+        if verbose:
+            print("Groundtruths:\n", batch_truths)
+            print("Predictions:\n", batch_preds)
+        if eval_steps and i + 1 >= eval_steps:
+            break
+    return wer(truths, preds), truths, preds
+
+
+def run(args):
+    config = load_config(args.config_file)
+    tokenizer = None
+
+    if args.create_tokenizer:
+        from efficientconformer_tpu.data.preparation import create_tokenizer
+        print("Creating Tokenizer")
+        tokenizer = create_tokenizer(config.training_params, config.tokenizer_params)
+    if tokenizer is None:
+        tokenizer = load_tokenizer(config)
+
+    if args.prepare_dataset:
+        from efficientconformer_tpu.data.preparation import prepare_dataset
+        print("Preparing dataset")
+        prepare_dataset(config.training_params, config.tokenizer_params, tokenizer)
+
+    trainer = Trainer(config)
+    state = trainer.init_state(example_microbatch(config))
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
+    print(config.model_name)
+    print("Model Parameters :", n)
+    if args.show_dict:
+        for path, p in jax.tree_util.tree_leaves_with_path(state.params):
+            name = "/".join(str(k.key) for k in path)
+            print(f"{name:<64} {str(tuple(p.shape)):<16} "
+                  f"mean {float(jnp.mean(p)):<12.4f} std {float(jnp.std(p)):<12.4f}")
+
+    cb_path = config.training_params.get("callback_path", "callbacks/")
+    if args.initial_epoch is not None:
+        state = checkpoint.load(
+            os.path.join(cb_path, f"checkpoints_{args.initial_epoch}.ckpt"), state
+        )
+        initial_epoch = int(args.initial_epoch)
+    else:
+        initial_epoch = 0
+    if args.initial_epoch_encoder is not None:
+        enc_path = config.training_params.get("callback_path_encoder", cb_path)
+        state = checkpoint.load_encoder(
+            os.path.join(enc_path, f"checkpoints_{args.initial_epoch_encoder}.ckpt"),
+            state,
+        )
+
+    mode_base = args.mode.split("-")[0]
+    tp = config.training_params
+
+    def make_eval_dataset():
+        split = EVAL_SPLITS.get(args.mode, "dev-clean")
+        return LibriSpeechDataset(
+            tp["evaluation_dataset_path"], split,
+            vocab_type=config.tokenizer_params["vocab_type"],
+            vocab_size=config.vocab_size,
+            audio_max_length=tp.get("eval_audio_max_length"),
+            label_max_length=tp.get("eval_label_max_length"),
+        )
+
+    if args.swa:
+        epochs = (
+            [int(e) for e in args.swa_epochs_list]
+            if args.swa_epochs_list
+            else list(range(int(args.swa_epochs[0]), int(args.swa_epochs[1]) + 1))
+        )
+        states = [
+            checkpoint.load(os.path.join(cb_path, f"checkpoints_{e}.ckpt"), state)
+            for e in epochs
+        ]
+        avg = (
+            checkpoint.swa_average(states)
+            if args.swa_type == "equal"
+            else checkpoint.swa_exp_average(states)
+        )
+        # BN statistics refresh over training data (reference model.py:534-557)
+        train_ds = LibriSpeechDataset(
+            tp["training_dataset_path"], "train",
+            vocab_type=config.tokenizer_params["vocab_type"],
+            vocab_size=config.vocab_size,
+            audio_max_length=tp.get("train_audio_max_length"),
+            label_max_length=tp.get("train_label_max_length"),
+        )
+        avg = bn_refresh(trainer, avg, train_ds, steps=args.steps_per_epoch or 100)
+        tag = f"swa-{args.swa_type}-{epochs[0]}-{epochs[-1]}"
+        trainer.save(avg, os.path.join(cb_path, f"checkpoints_{tag}.ckpt"),
+                     save_optimizer=False)
+        return 0
+
+    if mode_base == "training":
+        train_ds = LibriSpeechDataset(
+            tp["training_dataset_path"], TRAIN_SPLITS.get(args.mode, "train"),
+            vocab_type=config.tokenizer_params["vocab_type"],
+            vocab_size=config.vocab_size,
+            audio_max_length=tp.get("train_audio_max_length"),
+            label_max_length=tp.get("train_label_max_length"),
+        )
+        loader = AsrBatchLoader(
+            train_ds, tp["batch_size"], accum_steps=tp.get("accumulated_steps", 1)
+        )
+        writer = None
+        try:
+            from tensorboardX import SummaryWriter
+            writer = SummaryWriter(os.path.join(cb_path, "logs"))
+        except ImportError:
+            pass
+
+        class EpochIter:
+            def __init__(self):
+                self.epoch = initial_epoch
+            def __iter__(self):
+                it = loader.epoch(self.epoch)
+                self.epoch += 1
+                return it
+
+        state = trainer.fit(
+            state, EpochIter(),
+            epochs=tp["epochs"],
+            steps_per_epoch=args.steps_per_epoch,
+            initial_epoch=initial_epoch,
+            callback_path=cb_path,
+            saving_period=args.saving_period,
+            val_period=args.val_period,
+            log_writer=writer,
+        )
+        return 0
+
+    if mode_base in ("validation", "test"):
+        ds = make_eval_dataset()
+        w, truths, preds = evaluate(
+            trainer, state, ds, tokenizer,
+            batch_size=args.batch_size_eval, eval_steps=args.val_steps,
+            verbose=args.verbose_val,
+            max_consec=args.rnnt_max_consec_dec_steps or 5,
+        )
+        print("Greedy Search WER : {:.2f}%".format(100 * w))
+        return 0
+
+    if mode_base.startswith("eval_time"):
+        ds = make_eval_dataset()
+        if args.profiler:
+            jax.profiler.start_trace(os.path.join(cb_path, "profile"))
+        t0 = time.time()
+        if mode_base == "eval_time_encoder":
+            loader = AsrBatchLoader(ds, args.batch_size_eval, shuffle=False)
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            for i, batch in enumerate(loader.epoch(0)):
+                mb = {k: v.reshape((-1,) + v.shape[2:]) for k, v in batch.items()}
+                out = trainer.model.apply(
+                    variables, jnp.asarray(mb["audio"]),
+                    jnp.asarray(mb["audio_len"]), False,
+                    method=type(trainer.model).encode
+                    if config_is_transducer(config) else None,
+                )
+                jax.block_until_ready(out)
+                if args.val_steps and i + 1 >= args.val_steps:
+                    break
+        else:
+            evaluate(trainer, state, ds, tokenizer,
+                     batch_size=args.batch_size_eval, eval_steps=args.val_steps,
+                     max_consec=args.rnnt_max_consec_dec_steps or 5)
+        dt = time.time() - t0
+        if args.profiler:
+            jax.profiler.stop_trace()
+        print("eval time : {:.2f}s".format(dt))
+        return 0
+
+    raise ValueError(f"unknown mode {args.mode}")
+
+
+def bn_refresh(trainer: Trainer, state, dataset, steps: int = 100):
+    """Recompute batch statistics with a forward pass over training data
+    (reference model.py:534-557)."""
+    from efficientconformer_tpu.models import factory
+
+    loader = AsrBatchLoader(dataset, 8, shuffle=True)
+    for i, batch in enumerate(loader.epoch(0)):
+        mb = {k: jnp.asarray(v.reshape((-1,) + v.shape[2:])) for k, v in batch.items()}
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        _, mutated = factory.apply_model(
+            trainer.model, variables, mb, True,
+            rngs={"dropout": jax.random.PRNGKey(0),
+                  "augment": jax.random.PRNGKey(1)},
+        )
+        state = state.replace(batch_stats=mutated["batch_stats"])
+        if i + 1 >= steps:
+            break
+    return state

@@ -76,45 +76,6 @@ def test_forward_shapes_and_lengths():
     assert interctc == []
 
 
-def test_eval_padding_invariance_block_stack():
-    """Zero-padding features must not change block-stack outputs at valid
-    positions (eval mode). Exact invariance holds at the block level because
-    pad-position inputs are identical zeros in both versions and attention is
-    key-masked; the audio frontend itself is not pad-neutral (reflect-pad STFT
-    boundary), matching the reference's behaviour.
-    """
-    from flax import linen as nn
-    from efficientconformer_tpu.models.blocks import ConformerBlock
-    from efficientconformer_tpu.ops.masks import streaming_mask
-
-    blocks = resolve_block_configs(TINY)[:4]
-
-    class Stack(nn.Module):
-        @nn.compact
-        def __call__(self, x, x_len, train=False):
-            mask = streaming_mask(x.shape[1], x_len, 512, 512)
-            for i, cfg in enumerate(blocks):
-                x, _ = ConformerBlock(cfg, name=f"b{i}")(x, mask, None, train)
-                if cfg.stride > 1:
-                    mask = mask[:, :, :: cfg.stride, :: cfg.stride]
-                    x_len = (x_len - 1) // cfg.stride + 1
-            return x, x_len
-
-    stack = Stack()
-    t_real = 18
-    x = jnp.array(np.random.default_rng(1).standard_normal((1, t_real, 16)), jnp.float32)
-    x_len = jnp.array([t_real])
-    vars_ = stack.init(jax.random.PRNGKey(0), x, x_len)
-    out1, len1 = stack.apply(vars_, x, x_len)
-    xp = jnp.pad(x, ((0, 0), (0, 6), (0, 0)))
-    out2, len2 = stack.apply(vars_, xp, x_len)
-    n = int(len1[0])
-    assert int(len2[0]) == n
-    np.testing.assert_allclose(
-        np.asarray(out1)[0, :n], np.asarray(out2)[0, :n], atol=2e-4
-    )
-
-
 def test_interctc_taps():
     enc = ConformerEncoder(params=TINY, vocab_size=11, interctc_blocks=(2,))
     x = jnp.array(np.random.default_rng(2).standard_normal((1, 1600)), jnp.float32)

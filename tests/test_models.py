@@ -140,7 +140,7 @@ def test_lm_forward_and_ce():
     ours = float(ce_loss(logits, targets))
     tl = torch.nn.functional.cross_entropy(
         torch.tensor(np.asarray(logits)).transpose(1, 2),
-        torch.tensor(np.asarray(targets)),
+        torch.tensor(np.asarray(targets), dtype=torch.long),
         ignore_index=-1,
     )
     np.testing.assert_allclose(ours, float(tl), rtol=1e-5)
