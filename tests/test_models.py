@@ -115,7 +115,9 @@ def reference_style_greedy(model, variables, x, x_len, max_consec=5):
 
 def test_transducer_batched_greedy_matches_reference_loop():
     model, variables, x, x_len, y, y_len = build_tiny_transducer()
-    toks, n = greedy_decode(model, variables, x, x_len, max_tokens=20,
+    # max_tokens must exceed the worst case (max_consec per frame) so the
+    # buffer cap never alters semantics vs the unbounded reference loop
+    toks, n = greedy_decode(model, variables, x, x_len, max_tokens=128,
                             max_consec_dec_steps=5)
     want = reference_style_greedy(model, variables, x, x_len, max_consec=5)
     for b in range(2):
