@@ -53,12 +53,17 @@ def main():
         preds = jnp.argmax(logits, axis=-1)
         return ctc_greedy_collapse(preds, logits_len)
 
+    # NB: materialise outputs on host each iteration — block_until_ready does
+    # not synchronise on the tunnelled TPU platform, and fetching the decoded
+    # tokens is part of the real serving path anyway.
     for _ in range(WARMUP):
-        jax.block_until_ready(decode(variables, audio, audio_len))
+        tok, n = decode(variables, audio, audio_len)
+        np.asarray(tok), np.asarray(n)
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        jax.block_until_ready(decode(variables, audio, audio_len))
+        tok, n = decode(variables, audio, audio_len)
+        np.asarray(tok), np.asarray(n)
     dt = time.perf_counter() - t0
 
     audio_seconds = BATCH * SECONDS * ITERS

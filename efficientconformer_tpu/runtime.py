@@ -60,10 +60,13 @@ def example_microbatch(config: Config, batch_size: int = 2):
             "token_len": np.full((batch_size,), u, np.int32),
             "targets": np.zeros((batch_size, u + 1), np.int32),
         }
-    t, u = 16000, 16
+    # keep labels short enough that a CTC/RNN-T path exists even through an
+    # 8x-downsampling encoder (16000 samples -> ~13 frames)
+    t, u = 16000, 6
+    rng = np.random.default_rng(0)
     return {
-        "audio": np.zeros((batch_size, t), np.float32),
-        "labels": np.ones((batch_size, u), np.int32),
+        "audio": rng.standard_normal((batch_size, t)).astype(np.float32) * 0.01,
+        "labels": rng.integers(1, 8, (batch_size, u)).astype(np.int32),
         "audio_len": np.full((batch_size,), t, np.int32),
         "label_len": np.full((batch_size,), u, np.int32),
     }
