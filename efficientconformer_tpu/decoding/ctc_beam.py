@@ -112,10 +112,32 @@ def beam_search_batch(
     log_probs: np.ndarray,          # (B, T, V)
     seq_lens: np.ndarray,
     beam_size: int = 16,
-    lm: Optional[ArpaLM] = None,
+    lm_path: Optional[str] = None,
     alpha: float = 0.0,
     beta: float = 0.0,
+    ngram_offset: int = 100,
+    use_native: bool = True,
 ) -> List[List[int]]:
+    """Batch beam search; prefers the C++ implementation when built."""
+    from efficientconformer_tpu.decoding import native_binding as nb
+
+    if use_native and nb.available():
+        lm = None
+        if lm_path:
+            try:
+                lm = nb.NativeArpa(lm_path, ngram_offset)
+            except FileNotFoundError:
+                print("Ngram language model not found...")
+        return [
+            nb.ctc_beam_search_native(
+                log_probs[b], int(seq_lens[b]), beam_size, 0, lm, alpha, beta
+            )
+            for b in range(log_probs.shape[0])
+        ]
+
+    from efficientconformer_tpu.decoding.ngram import try_load
+
+    lm = try_load(lm_path, ngram_offset) if lm_path else None
     return [
         ctc_prefix_beam_search(
             log_probs[b], int(seq_lens[b]), beam_size, 0, lm, alpha, beta

@@ -229,12 +229,28 @@ def run(args):
                 self.epoch += 1
                 return it
 
+        val_fn = None
+        if tokenizer is not None:
+            try:
+                val_ds = make_eval_dataset()
+
+                def val_fn(st):
+                    w, _, _ = evaluate(
+                        trainer, st, val_ds, tokenizer,
+                        batch_size=args.batch_size_eval,
+                        eval_steps=args.val_steps,
+                    )
+                    return {"WER": 100.0 * w}
+            except FileNotFoundError:
+                pass
+
         state = trainer.fit(
             state, EpochIter(),
             epochs=tp["epochs"],
             steps_per_epoch=args.steps_per_epoch,
             initial_epoch=initial_epoch,
             callback_path=cb_path,
+            val_fn=val_fn,
             saving_period=args.saving_period,
             val_period=args.val_period,
             log_writer=writer,
@@ -257,7 +273,28 @@ def run(args):
         if args.profiler:
             jax.profiler.start_trace(os.path.join(cb_path, "profile"))
         t0 = time.time()
-        if mode_base == "eval_time_encoder":
+        if mode_base == "eval_time_decoder":
+            # token-by-token prediction-network stepping (reference
+            # model.py:676-726)
+            from efficientconformer_tpu.models.transducer import Transducer as Td
+            loader = AsrBatchLoader(ds, args.batch_size_eval, shuffle=False)
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            model = trainer.model
+            step = jax.jit(
+                lambda tok, carry: model.apply(
+                    variables, tok, carry, method=Td.decode_step
+                )
+            )
+            for i, batch in enumerate(loader.epoch(0)):
+                mb = {k: v.reshape((-1,) + v.shape[2:]) for k, v in batch.items()}
+                bsz = mb["labels"].shape[0]
+                carry = model.apply(variables, bsz, method=Td.decoder_init_carry)
+                for u in range(mb["labels"].shape[1]):
+                    g, carry = step(jnp.asarray(mb["labels"][:, u]), carry)
+                np.asarray(g)
+                if args.val_steps and i + 1 >= args.val_steps:
+                    break
+        elif mode_base == "eval_time_encoder":
             loader = AsrBatchLoader(ds, args.batch_size_eval, shuffle=False)
             variables = {"params": state.params, "batch_stats": state.batch_stats}
             for i, batch in enumerate(loader.epoch(0)):

@@ -160,13 +160,14 @@ class Trainer:
         steps_per_epoch: Optional[int] = None,
         initial_epoch: int = 0,
         callback_path: Optional[str] = None,
-        eval_batches: Optional[Iterable] = None,
-        tokenizer=None,
+        val_fn: Optional[Callable] = None,
         saving_period: int = 1,
         val_period: int = 1,
         log_writer=None,
         verbose: bool = True,
     ) -> TrainerState:
+        """Epoch loop (reference model.py:173-344). ``val_fn(state) -> dict``
+        is called every val_period epochs; returned scalars are logged."""
         step_fns = {False: self.train_step_fn(False), True: None}
         rng = jax.random.PRNGKey(self.seed + 1)
         py_step = int(state.step)  # host-side mirror; avoids per-step syncs
@@ -198,6 +199,13 @@ class Trainer:
                 )
             if log_writer is not None:
                 log_writer.add_scalar("Training/MeanLoss", mean_loss, epoch + 1)
+            if val_fn is not None and (epoch + 1) % val_period == 0:
+                metrics = val_fn(state)
+                if verbose:
+                    print("  val:", {k: round(float(v), 4) for k, v in metrics.items()})
+                if log_writer is not None:
+                    for k, v in metrics.items():
+                        log_writer.add_scalar(f"Validation/{k}", float(v), epoch + 1)
             if callback_path and (epoch + 1) % saving_period == 0:
                 self.save(state, os.path.join(callback_path, f"checkpoints_{epoch + 1}.ckpt"))
         return state

@@ -1,0 +1,170 @@
+"""End-to-end pipeline smoke test on a synthetic mini-LibriSpeech.
+
+Exercises the full user workflow of the reference (notebook cells 14-22):
+create_tokenizer -> prepare_dataset -> training with validation + checkpoints
+-> test-mode WER eval -> SWA — all through the CLI runtime (main.py arg
+surface), on a tiny model and a generated corpus.
+"""
+
+import argparse
+import json
+import os
+import wave
+
+import numpy as np
+import pytest
+
+
+SENTENCES = [
+    "the cat sat on the mat",
+    "a dog ran in the park",
+    "the bird flew over the tree",
+    "cats and dogs play all day",
+    "the sun is warm today",
+    "rain falls on the green grass",
+    "the cat and the dog sleep",
+    "birds sing in the morning",
+]
+
+
+def write_wav(path, seconds, seed):
+    rng = np.random.default_rng(seed)
+    t = int(16000 * seconds)
+    x = (rng.standard_normal(t) * 0.05 * 32767).astype(np.int16)
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(x.tobytes())
+
+
+def make_dataset(root):
+    # utterances must be long enough that encoder frames (8x downsampling)
+    # exceed the BPE label length, or the CTC lattice has no valid path
+    for split, sents in [
+        ("train-clean-100", SENTENCES),
+        ("dev-clean", SENTENCES[:4]),
+        ("test-clean", SENTENCES[4:]),
+    ]:
+        d = os.path.join(root, split, "1", "1")
+        os.makedirs(d, exist_ok=True)
+        lines = []
+        for i, s in enumerate(sents):
+            utt = f"1-1-{i:04d}"
+            write_wav(os.path.join(d, utt + ".wav"), 1.5 + 0.1 * i, i)
+            lines.append(f"{utt} {s.upper()}")
+        with open(os.path.join(d, "1-1.trans.txt"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+
+TINY_ENC = {
+    "arch": "Conformer", "num_blocks": 3, "dim_model": [12, 16, 20],
+    "ff_ratio": 2, "num_heads": 2, "kernel_size": 7, "Pdrop": 0.0,
+    "conv_stride": 2, "att_stride": 1, "strided_blocks": [1, 2],
+    "expand_blocks": [1, 2], "att_group_size": [3, 1, 1],
+    "relative_pos_enc": True, "max_pos_encoding": 256,
+    "subsampling_module": "Conv2d", "subsampling_layers": 1,
+    "subsampling_filters": [12], "subsampling_kernel_size": 3,
+    "subsampling_norm": "batch", "subsampling_act": "swish",
+    "sample_rate": 16000, "win_length_ms": 25, "hop_length_ms": 10,
+    "n_fft": 512, "n_mels": 80, "normalize": False, "mean": 0.0, "std": 1.0,
+    "spec_augment": True, "mF": 1, "F": 5, "mT": 1, "pS": 0.05,
+}
+
+
+def make_config(root, tmp_path):
+    cfg = {
+        "model_name": "Tiny E2E CTC",
+        "model_type": "CTC",
+        "encoder_params": TINY_ENC,
+        "tokenizer_params": {
+            "tokenizer_path": os.path.join(root, "bpe_48.model"),
+            "vocab_type": "bpe",
+            "vocab_size": 48,
+        },
+        "training_params": {
+            "epochs": 2, "batch_size": 2, "accumulated_steps": 2,
+            "mixed_precision": False,
+            "optimizer": "Adam", "beta1": 0.9, "beta2": 0.98, "eps": 1e-9,
+            "weight_decay": 1e-6,
+            "lr_schedule": "Transformer", "schedule_dim": 20,
+            "warmup_steps": 10, "K": 2,
+            "train_audio_max_length": 200000, "train_label_max_length": 100,
+            "eval_audio_max_length": None, "eval_label_max_length": None,
+            "training_dataset": "LibriSpeech", "training_dataset_path": root + "/",
+            "evaluation_dataset": "LibriSpeech",
+            "evaluation_dataset_path": root + "/",
+            "callback_path": os.path.join(str(tmp_path), "callbacks") + "/",
+        },
+        "decoding_params": {"beam_size": 4, "tmp": 1},
+    }
+    path = os.path.join(str(tmp_path), "tiny.json")
+    with open(path, "w") as f:
+        json.dump(cfg, f)
+    return path
+
+
+def run_cli(config_path, mode, **kw):
+    import main as cli
+
+    args = [
+        "--config_file", config_path, "--mode", mode,
+    ]
+    for k, v in kw.items():
+        if v is True:
+            args.append("--" + k)
+        elif isinstance(v, (list, tuple)):
+            args += ["--" + k] + [str(x) for x in v]
+        elif v is not None:
+            args += ["--" + k, str(v)]
+    return cli.main(args)
+
+
+@pytest.mark.slow
+def test_full_pipeline(tmp_path):
+    root = os.path.join(str(tmp_path), "LibriSpeech")
+    make_dataset(root)
+    config_path = make_config(root, tmp_path)
+
+    # tokenizer + dataset prep + 2-epoch training with validation/checkpoints
+    run_cli(
+        config_path, "training",
+        create_tokenizer=True, prepare_dataset=True,
+        steps_per_epoch=2, val_steps=1, batch_size_eval=2,
+    )
+
+    cb = os.path.join(str(tmp_path), "callbacks")
+    assert os.path.exists(os.path.join(cb, "checkpoints_1.ckpt"))
+    assert os.path.exists(os.path.join(cb, "checkpoints_2.ckpt"))
+
+    # greedy test-mode evaluation from a checkpoint
+    run_cli(
+        config_path, "test-clean", initial_epoch="2",
+        gready=True, batch_size_eval=2, val_steps=2,
+    )
+
+    # SWA over the two checkpoints
+    run_cli(
+        config_path, "training",
+        swa=True, swa_epochs=["1", "2"], steps_per_epoch=2,
+    )
+    assert os.path.exists(os.path.join(cb, "checkpoints_swa-equal-1-2.ckpt"))
+
+
+@pytest.mark.slow
+def test_checkpoint_roundtrip(tmp_path):
+    from efficientconformer_tpu.config import from_dict
+    from efficientconformer_tpu.training.trainer import Trainer
+    from efficientconformer_tpu.training import checkpoint
+    from efficientconformer_tpu.runtime import example_microbatch
+    import jax
+
+    cfg = from_dict(json.load(open(make_config(str(tmp_path), tmp_path))))
+    trainer = Trainer(cfg)
+    state = trainer.init_state(example_microbatch(cfg))
+    path = os.path.join(str(tmp_path), "ckpt.bin")
+    trainer.save(state.replace(step=state.step + 7), path)
+    loaded = checkpoint.load(path, state)
+    assert int(loaded.step) == 7
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(loaded.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
