@@ -41,6 +41,38 @@ def _xavier_bias_init(num_heads: int, dim_head: int):
     return init
 
 
+def _use_fused(fused: Optional[bool], q, k) -> bool:
+    """Resolve the fused-kernel flag: None = auto (TPU backend + fits VMEM)."""
+    from efficientconformer_tpu.ops import pallas_attention as PA
+
+    if fused is False:
+        return False
+    nq, nk, d = q.shape[2], k.shape[2], q.shape[3]
+    fits = PA.fits_vmem(nq, nk, d)
+    if fused is True:
+        return fits
+    import jax
+
+    return fits and jax.default_backend() not in ("cpu",)
+
+
+def _attend(q, k, v, bias, scale, fused: Optional[bool]):
+    """softmax(q k^T * scale + bias) v with optional Pallas fusion.
+
+    bias is the full additive term: rel-pos scores (already scaled) plus the
+    mask contribution; None means no bias.
+    """
+    from efficientconformer_tpu.ops import pallas_attention as PA
+
+    if bias is None:
+        bias = jnp.zeros((1, 1, 1, 1), jnp.float32)
+    if _use_fused(fused, q, k):
+        return PA.fused_bias_attention(q, k, v, bias, scale)
+    s = jnp.matmul(q, jnp.swapaxes(k, -1, -2)) * scale
+    o, _ = A.softmax_attention(s + bias.astype(s.dtype), v)
+    return o
+
+
 class MultiHeadSelfAttention(nn.Module):
     dim_model: int
     num_heads: int
@@ -51,6 +83,7 @@ class MultiHeadSelfAttention(nn.Module):
     linear_att: bool = False
     relative_pos_enc: bool = False
     vn_std: Optional[float] = None
+    fused: Optional[bool] = None        # None = auto (Pallas on TPU)
 
     def _rel_bias(self, name: str, dim_head: int) -> jnp.ndarray:
         return self.param(
@@ -120,16 +153,14 @@ class MultiHeadSelfAttention(nn.Module):
                 kg = A.group_time(kp, h, g)
                 vg = A.group_time(vp, h, g)
                 eg = e.reshape(-1, h, dh)
-                att_k = jnp.matmul(qu, kg.transpose(0, 1, 3, 2))
                 att_e = jnp.einsum("bhqd,lhd->bhql", qv, eg)
                 att_e = (
                     A.rel_to_abs_causal(att_e) if self.causal else A.rel_to_abs_full(att_e)
                 )
-                scores = (att_k + att_e) / math.sqrt(dh)
+                bias = att_e / math.sqrt(dh)
                 if mask_p is not None:
-                    mask_g = mask_p[:, :, ::g, ::g]
-                    scores = scores + mask_g * A.NEG_INF
-                o, _ = A.softmax_attention(scores, vg)
+                    bias = bias + mask_p[:, :, ::g, ::g] * A.NEG_INF
+                o = _attend(qu, kg, vg, bias, 1.0 / math.sqrt(dh), self.fused)
                 o = A.ungroup_time(o, d)[:, :t_in]
                 return Dense(d, name="output", vn_std=self.vn_std)(o), new_hidden
 
@@ -187,17 +218,16 @@ class MultiHeadSelfAttention(nn.Module):
                 qv = A.split_heads(qs + vbias.astype(x.dtype), h)
                 kh = A.split_heads(kp, h)
                 vh = A.split_heads(vp, h)
-                att_k = jnp.matmul(qu, kh.transpose(0, 1, 3, 2))
                 rel = jnp.einsum("bhqd,lhd->bhql", qv, e)
                 att_e = (
                     A.rel_to_abs_strided_causal(rel, s)
                     if self.causal
                     else A.rel_to_abs_strided_full(rel, s)
                 )
-                scores = (att_k + att_e) / math.sqrt(dh)
+                bias = att_e / math.sqrt(dh)
                 if mask_p is not None:
-                    scores = scores + mask_p[:, :, ::s] * A.NEG_INF
-                o, _ = A.softmax_attention(scores, vh)
+                    bias = bias + mask_p[:, :, ::s] * A.NEG_INF
+                o = _attend(qu, kh, vh, bias, 1.0 / math.sqrt(dh), self.fused)
                 o = A.merge_heads(o)[:, : _ceil_div(t_in, s)]
                 return Dense(d, name="output", vn_std=self.vn_std)(o), new_hidden
 
@@ -247,15 +277,14 @@ class MultiHeadSelfAttention(nn.Module):
             qv = A.split_heads(q + vbias.astype(x.dtype), h)
             kh = A.split_heads(k, h)
             vh = A.split_heads(v, h)
-            att_k = jnp.matmul(qu, kh.transpose(0, 1, 3, 2))
             rel = jnp.einsum("bhqd,lhd->bhql", qv, e)
             att_e = (
                 A.rel_to_abs_causal(rel) if self.causal else A.rel_to_abs_full(rel)
             )
-            scores = (att_k + att_e) / math.sqrt(dh)
+            bias = att_e / math.sqrt(dh)
             if mask is not None:
-                scores = scores + mask * A.NEG_INF
-            o, _ = A.softmax_attention(scores, vh)
+                bias = bias + mask * A.NEG_INF
+            o = _attend(qu, kh, vh, bias, 1.0 / math.sqrt(dh), self.fused)
             o = A.merge_heads(o)
             return Dense(d, name="output", vn_std=self.vn_std)(o), new_hidden
 
@@ -269,10 +298,8 @@ class MultiHeadSelfAttention(nn.Module):
             qg = A.group_time(qp, h, g)
             kg = A.group_time(kp, h, g)
             vg = A.group_time(vp, h, g)
-            scores = jnp.matmul(qg, kg.transpose(0, 1, 3, 2)) / math.sqrt(dh)
-            if mask_p is not None:
-                scores = scores + mask_p[:, :, ::g, ::g] * A.NEG_INF
-            o, _ = A.softmax_attention(scores, vg)
+            bias = mask_p[:, :, ::g, ::g] * A.NEG_INF if mask_p is not None else None
+            o = _attend(qg, kg, vg, bias, 1.0 / math.sqrt(dh), self.fused)
             o = A.ungroup_time(o, d)[:, :t_in]
         elif kw is not None and s == 1:
             qp, _ = M.pad_to_multiple(q, kw)
@@ -308,20 +335,16 @@ class MultiHeadSelfAttention(nn.Module):
             qh = A.split_heads(q[:, ::s], h)
             kh = A.split_heads(k, h)
             vh = A.split_heads(v, h)
-            scores = jnp.matmul(qh, kh.transpose(0, 1, 3, 2)) / math.sqrt(dh)
-            if mask is not None:
-                scores = scores + mask[:, :, ::s] * A.NEG_INF
-            o, _ = A.softmax_attention(scores, vh)
+            bias = mask[:, :, ::s] * A.NEG_INF if mask is not None else None
+            o = _attend(qh, kh, vh, bias, 1.0 / math.sqrt(dh), self.fused)
             o = A.merge_heads(o)
         else:
             dh = d // h
             qh = A.split_heads(q, h)
             kh = A.split_heads(k, h)
             vh = A.split_heads(v, h)
-            scores = jnp.matmul(qh, kh.transpose(0, 1, 3, 2)) / math.sqrt(dh)
-            if mask is not None:
-                scores = scores + mask * A.NEG_INF
-            o, _ = A.softmax_attention(scores, vh)
+            bias = mask * A.NEG_INF if mask is not None else None
+            o = _attend(qh, kh, vh, bias, 1.0 / math.sqrt(dh), self.fused)
             o = A.merge_heads(o)
         return Dense(d, name="output", vn_std=self.vn_std)(o), new_hidden
 

@@ -1,0 +1,137 @@
+"""Fused attention Pallas kernel.
+
+Computes O = softmax(Q K^T * scale + bias) V per (batch, head) entirely in
+VMEM, so the (N, N) score/probability matrices never round-trip through HBM —
+the main memory-traffic cost of the encoder's self-attention stack at
+Conformer sequence lengths (N <= ~1k after subsampling). The additive ``bias``
+carries both the relative-position scores (precomputed by the skewing path in
+ops/attention.py) and the padding/streaming mask, which makes one kernel serve
+every rel-pos variant: plain and grouped attention only differ in how Q/K/V
+and the bias were laid out beforehand.
+
+Softmax runs in fp32 regardless of input dtype (bf16-safe). Head dim is
+zero-padded to the 128-lane boundary outside the kernel (zeros contribute
+nothing to the dot products); N is padded to the sublane boundary with
+masked-out bias columns.
+
+Falls back to the pure-jnp path for shapes that exceed the VMEM budget
+(see ``fits_vmem``).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+
+LANE = 128
+SUBLANE = 8
+VMEM_BUDGET = 12 * 1024 * 1024  # bytes, conservative vs the ~16MB/core VMEM
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def fits_vmem(nq: int, nk: int, d: int, dtype_bytes: int = 4) -> bool:
+    nqp = _round_up(nq, SUBLANE)
+    nkp = _round_up(nk, SUBLANE)
+    dp = _round_up(d, LANE)
+    # q, k, v, o tiles + scores + probs (fp32)
+    need = (
+        2 * nqp * dp * dtype_bytes
+        + 2 * nkp * dp * dtype_bytes
+        + 2 * nqp * nkp * 4
+        + nqp * nkp * dtype_bytes
+    )
+    return need < VMEM_BUDGET
+
+
+def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    bias = bias_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * scale + bias.astype(jnp.float32)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def fused_bias_attention(
+    q: jnp.ndarray,      # (B, H, Nq, d)
+    k: jnp.ndarray,      # (B, H, Nk, d)
+    v: jnp.ndarray,      # (B, H, Nk, d)
+    bias: jnp.ndarray,   # (B or 1, H or 1, Nq, Nk) additive (rel scores + mask)
+    scale: float,
+) -> jnp.ndarray:
+    """softmax(q k^T * scale + bias) v, fused per (b, h)."""
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    nqp = _round_up(nq, SUBLANE)
+    nkp = _round_up(nk, SUBLANE)
+    dp = _round_up(d, LANE)
+
+    def pad_qkv(x, np_):
+        n = x.shape[2]
+        return jnp.pad(x, ((0, 0), (0, 0), (0, np_ - n), (0, dp - d)))
+
+    qp = pad_qkv(q, nqp)
+    kp = pad_qkv(k, nkp)
+    vp = pad_qkv(v, nkp)
+    bias = jnp.broadcast_to(bias, (b, h, nq, nk))
+    # padded key columns must be masked; padded query rows are sliced off
+    biasp = jnp.pad(
+        bias, ((0, 0), (0, 0), (0, nqp - nq), (0, nkp - nk)),
+        constant_values=NEG_INF,
+    )
+
+    grid = (b, h)
+    spec_q = pl.BlockSpec(
+        (1, 1, nqp, dp), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+    )
+    spec_kv = pl.BlockSpec(
+        (1, 1, nkp, dp), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+    )
+    spec_bias = pl.BlockSpec(
+        (1, 1, nqp, nkp), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, scale=scale),
+        grid=grid,
+        in_specs=[spec_q, spec_kv, spec_kv, spec_bias],
+        out_specs=spec_q,
+        out_shape=jax.ShapeDtypeStruct((b, h, nqp, dp), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_BUDGET,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * (nqp * nkp * dp * 2),
+            bytes_accessed=b * h * (2 * nqp * dp + 2 * nkp * dp + nqp * nkp) * 4,
+            transcendentals=b * h * nqp * nkp,
+        ),
+    )(qp, kp, vp, biasp)
+    return out[:, :, :nq, :d]
+
+
+def reference_bias_attention(q, k, v, bias, scale):
+    """jnp reference with identical semantics (used in tests/fallback)."""
+    s = jnp.einsum("bhnd,bhmd->bhnm", q, k).astype(jnp.float32) * scale
+    s = s + bias.astype(jnp.float32)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhnm,bhmd->bhnd", p.astype(v.dtype), v)
