@@ -90,7 +90,15 @@ def beam_search(
         for t in range(int(f_len[b])):
             a_hyps = beams
             beams = []
-            while len(beams) < beam_size:
+            # Expansion loop (reference transducer.py:236-319): repeatedly pop
+            # the best hypothesis, extend by blank into B and by the top-k
+            # non-blank labels into A. Unlike the reference's raw topk (which
+            # can starve B of blank extensions and stall when blank falls out
+            # of the top-k), the blank extension is always emitted — this is
+            # Graves' formulation and guarantees termination.
+            expansions = 0
+            while len(beams) < beam_size and expansions < 3 * beam_size:
+                expansions += 1
                 best = max(a_hyps, key=Hyp.norm_score.fget)
                 a_hyps.remove(best)
 
@@ -104,28 +112,37 @@ def beam_search(
                         lm_logits[0] / lm_tmp
                     )
                 logp = np.asarray(logp)
-                topk = np.argsort(logp)[-beam_size:][::-1]
-                for c in topk:
-                    c = int(c)
-                    hyp = Hyp(
+
+                # blank extension -> B
+                beams.append(
+                    Hyp(
                         prediction=best.prediction[:],
-                        logp_score=best.logp_score + float(logp[c]),
+                        logp_score=best.logp_score + float(logp[0]),
                         hidden=best.hidden,
                         hidden_lm=best.hidden_lm,
                         ngram_state=best.ngram_state,
                     )
-                    if c == 0:
-                        beams.append(hyp)
-                    else:
-                        hyp.prediction.append(c)
-                        hyp.hidden = hidden
-                        if lm_model is not None and lm_weight:
-                            hyp.hidden_lm = hidden_lm
-                        if ngram is not None and ngram_alpha:
-                            sc, ns = ngram.score(best.ngram_state, c)
-                            hyp.logp_score += ngram_alpha * sc + ngram_beta
-                            hyp.ngram_state = ns
-                        a_hyps.append(hyp)
+                )
+                # top-k non-blank extensions -> A
+                topk = np.argsort(logp[1:])[-beam_size:][::-1] + 1
+                for c in topk:
+                    c = int(c)
+                    hyp = Hyp(
+                        prediction=best.prediction[:] + [c],
+                        logp_score=best.logp_score + float(logp[c]),
+                        hidden=hidden,
+                        hidden_lm=(
+                            hidden_lm
+                            if lm_model is not None and lm_weight
+                            else best.hidden_lm
+                        ),
+                        ngram_state=best.ngram_state,
+                    )
+                    if ngram is not None and ngram_alpha:
+                        sc, ns = ngram.score(best.ngram_state, c)
+                        hyp.logp_score += ngram_alpha * sc + ngram_beta
+                        hyp.ngram_state = ns
+                    a_hyps.append(hyp)
         best = max(beams, key=Hyp.norm_score.fget)
         results.append(best.prediction[1:])
     return results

@@ -92,9 +92,18 @@ class ConformerEncoder(nn.Module):
         if not p["relative_pos_enc"]:
             x = x + absolute_encoding(x.shape[1], dim0).astype(x.dtype)[None]
 
+        # Optional rematerialisation: recompute block activations in the
+        # backward pass instead of storing them (jax.checkpoint), trading
+        # FLOPs for HBM. Config key: encoder_params["remat"].
+        block_cls = (
+            nn.remat(ConformerBlock, static_argnums=(4,))
+            if p.get("remat")
+            else ConformerBlock
+        )
+
         interctc_probs = []
         for i, cfg in enumerate(blocks):
-            x, _ = ConformerBlock(cfg, vn_std=self.vn_std, name=f"block_{i}")(
+            x, _ = block_cls(cfg, vn_std=self.vn_std, name=f"block_{i}")(
                 x, mask, None, train
             )
             if cfg.stride > 1:

@@ -26,9 +26,16 @@ def create_model(config: Config) -> Tuple[nn.Module, Callable]:
     mtype = config.model_type
     vn_std = config.training_params.get("vn_std", None)
 
+    # mixed_precision (reference AMP, model.py:179,239) maps to a bf16 compute
+    # policy: fp32 frontend + params, bf16 activations on the MXU. No loss
+    # scaling is needed on TPU (bf16 keeps the fp32 exponent range).
+    enc_params = dict(config.encoder_params)
+    if config.training_params.get("mixed_precision") and "compute_dtype" not in enc_params:
+        enc_params["compute_dtype"] = "bfloat16"
+
     if mtype == "Transducer":
         model = Transducer(
-            encoder_params=config.encoder_params,
+            encoder_params=enc_params,
             decoder_params=config.decoder_params,
             joint_params=config.joint_params,
             vocab_size=config.decoder_params["vocab_size"],
@@ -48,7 +55,7 @@ def create_model(config: Config) -> Tuple[nn.Module, Callable]:
             config.encoder_params.get("interctc_blocks", ())
         ) if mtype == "InterCTC" else ()
         model = ModelCTC(
-            encoder_params=config.encoder_params,
+            encoder_params=enc_params,
             vocab_size=config.vocab_size,
             interctc_blocks=interctc_blocks,
         )

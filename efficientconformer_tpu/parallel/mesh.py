@@ -38,7 +38,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch):
-    """Device-put a host batch with the batch axis sharded over the mesh."""
-    sharding = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+def shard_batch(mesh: Mesh, batch, batch_axis: int = 0):
+    """Device-put a host batch with ``batch_axis`` sharded over the data axis.
+
+    Train batches are stacked (accum, batch, ...) so their batch axis is 1.
+    Arrays whose batch dim is not divisible by the mesh size (tiny eval tails,
+    toy tests) are replicated instead.
+    """
+    n = mesh.devices.size
+
+    def put(x):
+        if x.ndim > batch_axis and x.shape[batch_axis] % n == 0:
+            spec = [None] * x.ndim
+            spec[batch_axis] = "data"
+            return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree.map(put, batch)

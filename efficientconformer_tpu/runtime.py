@@ -73,10 +73,26 @@ def example_microbatch(config: Config, batch_size: int = 2):
 
 
 def decode_batch(trainer: Trainer, state, batch, tokenizer,
-                 max_consec: int = 5):
-    """Greedy decode one eval microbatch -> list[str]."""
+                 max_consec: int = 5, beam_size: int = 1):
+    """Decode one eval microbatch -> list[str]. beam_size > 1 uses beam search
+    with the config's decoding_params (n-gram / LM fusion when files exist)."""
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+    dp = trainer.config.decoding_params
     if config_is_transducer(trainer.config):
+        if beam_size > 1:
+            from efficientconformer_tpu.decoding.rnnt_beam import beam_search
+            from efficientconformer_tpu.decoding.ngram import try_load
+
+            token_lists = beam_search(
+                trainer.model, variables,
+                jnp.asarray(batch["audio"]), jnp.asarray(batch["audio_len"]),
+                beam_size=beam_size,
+                tmp=dp.get("tmp", 1.0),
+                ngram=try_load(dp.get("ngram_path"), dp.get("ngram_offset", 100)),
+                ngram_alpha=dp.get("ngram_alpha", 0.0),
+                ngram_beta=dp.get("ngram_beta", 0.0),
+            )
+            return tokenizer.decode(token_lists)
         max_tokens = max(int(batch["label_len"].max()) * 2 + 8, 32)
         toks, n = rnnt_mod.greedy_decode(
             trainer.model, variables,
@@ -84,6 +100,26 @@ def decode_batch(trainer: Trainer, state, batch, tokenizer,
             max_tokens=max_tokens, max_consec_dec_steps=max_consec,
         )
     else:
+        if beam_size > 1:
+            from efficientconformer_tpu.decoding.ctc_beam import beam_search_batch
+
+            logits, logits_len, _ = trainer.model.apply(
+                variables, jnp.asarray(batch["audio"]),
+                jnp.asarray(batch["audio_len"]), False,
+            )
+            logp = np.asarray(
+                jax.nn.log_softmax(
+                    logits.astype(jnp.float32) / dp.get("tmp", 1.0), axis=-1
+                )
+            )
+            token_lists = beam_search_batch(
+                logp, np.asarray(logits_len), beam_size,
+                lm_path=dp.get("ngram_path"),
+                alpha=dp.get("ngram_alpha", 0.0),
+                beta=dp.get("ngram_beta", 0.0),
+                ngram_offset=dp.get("ngram_offset", 100),
+            )
+            return tokenizer.decode(token_lists)
         toks, n = ctc_mod.greedy_decode(
             trainer.model, variables,
             jnp.asarray(batch["audio"]), jnp.asarray(batch["audio_len"]),
@@ -98,28 +134,41 @@ def config_is_transducer(config: Config) -> bool:
 
 def evaluate(trainer: Trainer, state, dataset, tokenizer, *,
              batch_size: int = 8, eval_steps: Optional[int] = None,
-             verbose: bool = False, max_consec: int = 5):
-    """Greedy evaluation -> (wer, truths, preds). Reference model.py:386-490."""
+             verbose: bool = False, max_consec: int = 5, beam_size: int = 1,
+             eval_loss: bool = False):
+    """Evaluation -> (wer, truths, preds, mean_loss). Reference model.py:386-490."""
     loader = AsrBatchLoader(dataset, batch_size, shuffle=False, drop_last=False)
     truths, preds = [], []
+    total_loss, n_loss = 0.0, 0
+    loss_fn = trainer.eval_loss_fn() if eval_loss else None
     for i, batch in enumerate(loader.epoch(0)):
         mb = {k: v.reshape((-1,) + v.shape[2:]) for k, v in batch.items()}
-        batch_preds = decode_batch(trainer, state, mb, tokenizer, max_consec)
+        batch_preds = decode_batch(trainer, state, mb, tokenizer, max_consec,
+                                   beam_size)
         batch_truths = tokenizer.decode(
             [mb["labels"][b, : mb["label_len"][b]].tolist()
              for b in range(len(batch_preds))]
         )
         preds += batch_preds
         truths += batch_truths
+        if eval_loss:
+            total_loss += float(loss_fn(state, jax.tree.map(jnp.asarray, mb)))
+            n_loss += 1
         if verbose:
             print("Groundtruths:\n", batch_truths)
             print("Predictions:\n", batch_preds)
         if eval_steps and i + 1 >= eval_steps:
             break
-    return wer(truths, preds), truths, preds
+    mean_loss = total_loss / n_loss if n_loss else None
+    return wer(truths, preds), truths, preds, mean_loss
 
 
 def run(args):
+    # Multi-host: one process per host, same program; the data mesh spans all
+    # hosts (reference's multi-node story was single-node-only DDP spawn).
+    if os.environ.get("ECF_MULTIHOST") == "1":
+        jax.distributed.initialize()
+
     config = load_config(args.config_file)
     tokenizer = None
 
@@ -204,16 +253,32 @@ def run(args):
         return 0
 
     if mode_base == "training":
-        train_ds = LibriSpeechDataset(
-            tp["training_dataset_path"], TRAIN_SPLITS.get(args.mode, "train"),
-            vocab_type=config.tokenizer_params["vocab_type"],
-            vocab_size=config.vocab_size,
-            audio_max_length=tp.get("train_audio_max_length"),
-            label_max_length=tp.get("train_label_max_length"),
-        )
-        loader = AsrBatchLoader(
-            train_ds, tp["batch_size"], accum_steps=tp.get("accumulated_steps", 1)
-        )
+        if tp.get("training_dataset") == "LibriSpeechCorpus":
+            # LM training on the 40M-line text corpus (reference §3.4:
+            # functions.py:105-117, datasets.py:64-82)
+            from efficientconformer_tpu.data.datasets import LibriSpeechCorpusDataset
+            from efficientconformer_tpu.data.loader import LmBatchLoader
+
+            corpus = LibriSpeechCorpusDataset(
+                tp["training_dataset_path"], tokenizer,
+                max_len=tp.get("train_label_max_length"),
+            )
+            loader = LmBatchLoader(
+                corpus, tp["batch_size"],
+                max_len=tp.get("train_label_max_length") or 100,
+                accum_steps=tp.get("accumulated_steps", 1),
+            )
+        else:
+            train_ds = LibriSpeechDataset(
+                tp["training_dataset_path"], TRAIN_SPLITS.get(args.mode, "train"),
+                vocab_type=config.tokenizer_params["vocab_type"],
+                vocab_size=config.vocab_size,
+                audio_max_length=tp.get("train_audio_max_length"),
+                label_max_length=tp.get("train_label_max_length"),
+            )
+            loader = AsrBatchLoader(
+                train_ds, tp["batch_size"], accum_steps=tp.get("accumulated_steps", 1)
+            )
         writer = None
         try:
             from tensorboardX import SummaryWriter
@@ -230,17 +295,21 @@ def run(args):
                 return it
 
         val_fn = None
-        if tokenizer is not None:
+        if tokenizer is not None and config.model_type != "LM":
             try:
                 val_ds = make_eval_dataset()
 
                 def val_fn(st):
-                    w, _, _ = evaluate(
+                    w, _, _, vloss = evaluate(
                         trainer, st, val_ds, tokenizer,
                         batch_size=args.batch_size_eval,
                         eval_steps=args.val_steps,
+                        eval_loss=True,
                     )
-                    return {"WER": 100.0 * w}
+                    out = {"WER": 100.0 * w}
+                    if vloss is not None:
+                        out["MeanLoss"] = vloss
+                    return out
             except FileNotFoundError:
                 pass
 
@@ -259,13 +328,17 @@ def run(args):
 
     if mode_base in ("validation", "test"):
         ds = make_eval_dataset()
-        w, truths, preds = evaluate(
+        beam = 1 if args.gready else config.decoding_params.get("beam_size", 1)
+        w, truths, preds, _ = evaluate(
             trainer, state, ds, tokenizer,
             batch_size=args.batch_size_eval, eval_steps=args.val_steps,
             verbose=args.verbose_val,
             max_consec=args.rnnt_max_consec_dec_steps or 5,
+            beam_size=beam,
+            eval_loss=args.eval_loss,
         )
-        print("Greedy Search WER : {:.2f}%".format(100 * w))
+        kind = "Greedy" if beam <= 1 else "Beam"
+        print("{} Search WER : {:.2f}%".format(kind, 100 * w))
         return 0
 
     if mode_base.startswith("eval_time"):

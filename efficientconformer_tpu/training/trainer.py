@@ -181,7 +181,7 @@ class Trainer:
                 if use_vn and step_fns[True] is None:
                     step_fns[True] = self.train_step_fn(True)
                 step_fn = step_fns[use_vn]
-                batch = mesh_lib.shard_batch(self.mesh, batch)
+                batch = mesh_lib.shard_batch(self.mesh, batch, batch_axis=1)
                 state, metrics = step_fn(state, batch, rng)
                 py_step += 1
                 losses.append(metrics["loss"])

@@ -152,6 +152,50 @@ def test_full_pipeline(tmp_path):
 
 
 @pytest.mark.slow
+def test_lm_training_smoke(tmp_path):
+    """LM training on a text corpus through the CLI (reference §3.4)."""
+    corpus = os.path.join(str(tmp_path), "corpus.txt")
+    with open(corpus, "w") as f:
+        for s in SENTENCES * 4:
+            f.write(s + "\n")
+    from efficientconformer_tpu.data.tokenizer import train_bpe
+
+    tok = train_bpe(SENTENCES * 4, 48)
+    tok_path = os.path.join(str(tmp_path), "bpe_48.model")
+    tok.save(tok_path)
+
+    cfg = {
+        "model_name": "Tiny LM",
+        "model_type": "LM",
+        "lm_params": {"arch": "RNN", "num_layers": 1, "vocab_size": 48,
+                      "dim_model": 16},
+        "tokenizer_params": {"tokenizer_path": tok_path, "vocab_type": "bpe",
+                             "vocab_size": 48},
+        "training_params": {
+            "epochs": 1, "batch_size": 4, "accumulated_steps": 1,
+            "mixed_precision": False,
+            "optimizer": "Adam", "beta1": 0.9, "beta2": 0.98, "eps": 1e-9,
+            "weight_decay": 0.0,
+            "lr_schedule": "Constant", "lr_value": 1e-3,
+            "train_label_max_length": 24,
+            "eval_audio_max_length": None, "eval_label_max_length": None,
+            "training_dataset": "LibriSpeechCorpus",
+            "training_dataset_path": corpus,
+            "evaluation_dataset": "LibriSpeech",
+            "evaluation_dataset_path": str(tmp_path),
+            "lm_mode": True,
+            "callback_path": os.path.join(str(tmp_path), "lm_cb") + "/",
+        },
+        "decoding_params": {"beam_size": 4, "tmp": 1},
+    }
+    cfg_path = os.path.join(str(tmp_path), "lm.json")
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    run_cli(cfg_path, "training", steps_per_epoch=2)
+    assert os.path.exists(os.path.join(str(tmp_path), "lm_cb", "checkpoints_1.ckpt"))
+
+
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     from efficientconformer_tpu.config import from_dict
     from efficientconformer_tpu.training.trainer import Trainer
