@@ -25,7 +25,7 @@ from efficientconformer_tpu.models.modules import (
     AudioPreprocessing,
     SpecAugment,
 )
-from efficientconformer_tpu.ops.masks import streaming_mask
+from efficientconformer_tpu.ops.masks import padding_mask, streaming_mask
 from efficientconformer_tpu.ops.pos_enc import absolute_encoding
 
 
@@ -76,12 +76,20 @@ class ConformerEncoder(nn.Module):
             name="subsampling",
         )(x, x_len, train)
 
-        # Padding / streaming mask (encoder default: full context)
+        # Padding / streaming mask. The encoder default is full context
+        # (left = right = max_pos_encoding, reference models/encoders.py:68);
+        # in that case the (B,1,T,T) streaming mask degenerates to a pure
+        # key-padding mask, which we keep as (B,1,1,T) — broadcast inside
+        # attention — instead of materialising O(T^2) mask traffic per stage.
         left = p.get("left_context", p["max_pos_encoding"])
         right = 0 if p.get("causal", False) else p.get(
             "right_context", p["max_pos_encoding"]
         )
-        mask = streaming_mask(x.shape[1], x_len, left, right)
+        t_frames = x.shape[1]
+        if left >= t_frames and right >= t_frames:
+            mask = padding_mask(t_frames, x_len)
+        else:
+            mask = streaming_mask(t_frames, x_len, left, right)
 
         # Linear projection + dropout
         dim0 = blocks[0].dim_model
