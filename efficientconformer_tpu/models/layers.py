@@ -227,6 +227,20 @@ class LSTM(nn.Module):
         return jnp.moveaxis(out, 0, 1), (hT, cT)
 
 
+class IdentityProjection(nn.Module):
+    """Project by concatenating the input with a learned projection of itself
+    (reference models/layers.py:307-323; ContextNet helper)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_f = x.shape[-1]
+        assert self.features > in_f
+        proj = Dense(self.features - in_f, name="linear")(x)
+        return jnp.concatenate([x, proj], axis=-1)
+
+
 class LayerNorm(nn.LayerNorm):
     """LayerNorm with the reference epsilon (1e-6)."""
 

@@ -152,6 +152,36 @@ def test_full_pipeline(tmp_path):
 
 
 @pytest.mark.slow
+def test_transducer_pipeline(tmp_path):
+    """Transducer training + greedy eval through the CLI (RNN-T loss in the
+    fit path, batched label-synchronous decode in evaluation)."""
+    root = os.path.join(str(tmp_path), "LibriSpeech")
+    make_dataset(root)
+    cfg_path = make_config(root, tmp_path)
+    cfg = json.load(open(cfg_path))
+    cfg["model_type"] = "Transducer"
+    cfg["model_name"] = "Tiny E2E Transducer"
+    cfg["decoder_params"] = {"arch": "RNN", "num_layers": 1, "dim_model": 16,
+                             "vocab_size": 48}
+    cfg["joint_params"] = {"joint_mode": "sum", "dim_model": 16, "act": "tanh"}
+    cfg["training_params"]["epochs"] = 1
+    cfg["training_params"]["vn_start_step"] = 1
+    cfg["training_params"]["vn_std"] = 0.05
+    cfg["training_params"]["callback_path"] = (
+        os.path.join(str(tmp_path), "cb_rnnt") + "/"
+    )
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    run_cli(cfg_path, "training", create_tokenizer=True, prepare_dataset=True,
+            steps_per_epoch=2, val_steps=1, batch_size_eval=2)
+    assert os.path.exists(
+        os.path.join(str(tmp_path), "cb_rnnt", "checkpoints_1.ckpt")
+    )
+    run_cli(cfg_path, "test-clean", initial_epoch="1", gready=True,
+            batch_size_eval=2, val_steps=1)
+
+
+@pytest.mark.slow
 def test_lm_training_smoke(tmp_path):
     """LM training on a text corpus through the CLI (reference §3.4)."""
     corpus = os.path.join(str(tmp_path), "corpus.txt")
