@@ -12,7 +12,6 @@ from __future__ import annotations
 import functools
 import io
 import shutil
-import struct
 import subprocess
 import wave
 from typing import Tuple

@@ -18,7 +18,7 @@ import math
 import queue
 import random
 import threading
-from typing import Iterator, List, Optional, Sequence
+from typing import Iterator, List, Sequence
 
 import numpy as np
 

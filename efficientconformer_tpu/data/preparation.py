@@ -14,8 +14,6 @@ from __future__ import annotations
 import glob
 import json
 import os
-from typing import Iterable
-
 from efficientconformer_tpu.data.audio_io import audio_length
 from efficientconformer_tpu.data.datasets import manifest_path
 from efficientconformer_tpu.data.tokenizer import BpeTokenizer, train_bpe

@@ -18,7 +18,7 @@ from __future__ import annotations
 import collections
 import json
 import os
-from typing import Dict, Iterable, List, Sequence, Tuple
+from typing import Dict, Iterable, List, Tuple
 
 WORD_BOUNDARY = "▁"  # ▁
 UNK_ID = 0

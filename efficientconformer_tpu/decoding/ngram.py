@@ -17,8 +17,7 @@ the C++ scorer in native/ if profiling demands it.
 from __future__ import annotations
 
 import gzip
-import math
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 LOG10_UNK = -10.0
 

@@ -12,8 +12,8 @@ arrays carried per hypothesis (cheap: (layers, 1, H)).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from dataclasses import dataclass
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 from typing import Optional
 
-import jax.numpy as jnp
 from flax import linen as nn
 
 from efficientconformer_tpu.config import BlockConfig

@@ -5,8 +5,6 @@ beam search (reference transducer.py:260-273)."""
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -9,7 +9,7 @@ scatter) replacing the reference's per-sample per-frame Python loop
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

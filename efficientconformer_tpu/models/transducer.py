@@ -10,13 +10,13 @@ latency bottleneck this redesign removes. Beam search with LM fusion lives in
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from efficientconformer_tpu.models.decoders import DECODERS, RnnDecoder
+from efficientconformer_tpu.models.decoders import DECODERS
 from efficientconformer_tpu.models.encoders import ConformerEncoder
 from efficientconformer_tpu.models.joint_networks import JointNetwork
 

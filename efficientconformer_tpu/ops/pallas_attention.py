@@ -21,7 +21,6 @@ Falls back to the pure-jnp path for shapes that exceed the VMEM budget
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -72,8 +71,51 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
     o_ref[0, 0] = o.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale",))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def fused_bias_attention(
+    q: jnp.ndarray,      # (B, H, Nq, d)
+    k: jnp.ndarray,      # (B, H, Nk, d)
+    v: jnp.ndarray,      # (B, H, Nk, d)
+    bias: jnp.ndarray,   # (B or 1, H or 1, Nq, Nk) additive (rel scores + mask)
+    scale: float,
+) -> jnp.ndarray:
+    """softmax(q k^T * scale + bias) v, Pallas-fused forward.
+
+    Backward pass recomputes the probabilities with plain XLA matmuls
+    (flash-style: nothing from the forward's (N, N) intermediates is stored).
+    """
+    return _fused_forward(q, k, v, bias, scale)
+
+
+def _fused_fwd(q, k, v, bias, scale):
+    return _fused_forward(q, k, v, bias, scale), (q, k, v, bias)
+
+
+def _fused_bwd(scale, res, g):
+    q, k, v, bias = res
+    s = jnp.einsum("bhnd,bhmd->bhnm", q, k).astype(jnp.float32) * scale
+    s = s + bias.astype(jnp.float32)
+    p = jax.nn.softmax(s, axis=-1)
+    gf = g.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    dp = jnp.einsum("bhnd,bhmd->bhnm", gf, vf)
+    dv = jnp.einsum("bhnm,bhnd->bhmd", p, gf).astype(v.dtype)
+    ds = (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * p
+    dq = (jnp.einsum("bhnm,bhmd->bhnd", ds, k.astype(jnp.float32)) * scale).astype(q.dtype)
+    dk = (jnp.einsum("bhnm,bhnd->bhmd", ds, q.astype(jnp.float32)) * scale).astype(k.dtype)
+    # reduce ds over the axes that were broadcast in bias
+    dbias = ds
+    for axis in range(bias.ndim):
+        if bias.shape[axis] == 1 and ds.shape[axis] != 1:
+            dbias = jnp.sum(dbias, axis=axis, keepdims=True)
+    return dq, dk, dv, dbias.astype(bias.dtype)
+
+
+fused_bias_attention.defvjp(_fused_fwd, _fused_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def _fused_forward(
     q: jnp.ndarray,      # (B, H, Nq, d)
     k: jnp.ndarray,      # (B, H, Nk, d)
     v: jnp.ndarray,      # (B, H, Nk, d)

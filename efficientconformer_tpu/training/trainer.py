@@ -28,13 +28,11 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import struct
-from flax.training import train_state  # noqa: F401  (public API parity)
 
 from efficientconformer_tpu.config import Config
 from efficientconformer_tpu.models import factory
 from efficientconformer_tpu.parallel import mesh as mesh_lib
 from efficientconformer_tpu.training import optimizers
-from efficientconformer_tpu.utils.metrics import wer
 
 
 class TrainerState(struct.PyTreeNode):
