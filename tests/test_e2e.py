@@ -143,6 +143,13 @@ def test_full_pipeline(tmp_path):
         gready=True, batch_size_eval=2, val_steps=2,
     )
 
+    # beam-search evaluation (beam_size from decoding_params; no n-gram file
+    # configured -> acoustic-only prefix beam via the native C++ path)
+    run_cli(
+        config_path, "test-clean", initial_epoch="2",
+        batch_size_eval=2, val_steps=1,
+    )
+
     # SWA over the two checkpoints
     run_cli(
         config_path, "training",
