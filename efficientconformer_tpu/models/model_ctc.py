@@ -54,8 +54,20 @@ def ctc_greedy_collapse(preds: jnp.ndarray, pred_len: jnp.ndarray, blank: int = 
     return buf[:, :t], jnp.sum(keep, axis=1)
 
 
+_DECODE_CACHE: dict = {}
+
+
 def greedy_decode(model: ModelCTC, variables, x, x_len):
-    """Jittable greedy CTC decode: returns (token ids (B, T), counts (B,))."""
-    logits, logits_len, _ = model.apply(variables, x, x_len, False)
-    preds = jnp.argmax(logits, axis=-1)
-    return ctc_greedy_collapse(preds, logits_len)
+    """Greedy CTC decode, jit-compiled (cached per model instance):
+    returns (token ids (B, T), counts (B,))."""
+    key = id(model)
+    if key not in _DECODE_CACHE:
+        import jax
+
+        def impl(variables, x, x_len):
+            logits, logits_len, _ = model.apply(variables, x, x_len, False)
+            preds = jnp.argmax(logits, axis=-1)
+            return ctc_greedy_collapse(preds, logits_len)
+
+        _DECODE_CACHE[key] = jax.jit(impl)
+    return _DECODE_CACHE[key](variables, x, x_len)

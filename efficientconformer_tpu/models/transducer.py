@@ -10,6 +10,7 @@ latency bottleneck this redesign removes. Beam search with LM fusion lives in
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -85,6 +86,27 @@ def greedy_decode(
 
     Returns (tokens (B, max_tokens), counts (B,)).
     """
+    key = (id(model), max_tokens, max_consec_dec_steps)
+    fn = _DECODE_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(
+            functools.partial(
+                _greedy_decode_impl,
+                model=model,
+                max_tokens=max_tokens,
+                max_consec_dec_steps=max_consec_dec_steps,
+            )
+        )
+        _DECODE_CACHE[key] = fn
+    return fn(variables, x, x_len)
+
+
+_DECODE_CACHE: dict = {}
+
+
+def _greedy_decode_impl(
+    variables, x, x_len, *, model, max_tokens, max_consec_dec_steps
+):
     f, f_len, _ = model.apply(variables, x, x_len, False, method=Transducer.encode)
     b = f.shape[0]
 
