@@ -78,13 +78,14 @@ class Trainer:
 
     # ------------------------------------------------------------- train step
 
-    def train_step_fn(self, use_vn: bool = False) -> Callable:
+    def train_step_fn(self, use_vn: bool = False, freeze_encoder: bool = False) -> Callable:
         """Build the jit train step: (state, batch, rng) -> (state, metrics).
 
         batch is a dict of arrays stacked (A, B, ...) where A is the number of
-        accumulated microbatches (A=1 for no accumulation). ``use_vn`` is a
-        compile-time flag; ``fit`` switches step functions when the step counter
-        crosses vn_start_step (reference model.py:200-202, 262-265).
+        accumulated microbatches (A=1 for no accumulation). ``use_vn`` and
+        ``freeze_encoder`` are compile-time flags; ``fit`` switches step
+        functions when the step counter crosses vn_start_step /
+        encoder_frozen_steps (reference model.py:200-202, 232-236, 262-265).
         """
         model, loss_fn, tx = self.model, self.loss_fn, self.tx
 
@@ -122,7 +123,21 @@ class Trainer:
             grads = jax.tree.map(lambda g: g / accum, grads)
             loss = loss_sum / accum
 
+            if freeze_encoder and "encoder" in grads:
+                grads = dict(grads)
+                grads["encoder"] = jax.tree.map(
+                    jnp.zeros_like, grads["encoder"]
+                )
+
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            if freeze_encoder and "encoder" in updates:
+                # zeroed grads alone are not enough: decoupled-from-grad terms
+                # (L2 weight decay) would still move the encoder; torch's
+                # requires_grad_(False) skips the parameter entirely
+                updates = dict(updates)
+                updates["encoder"] = jax.tree.map(
+                    jnp.zeros_like, updates["encoder"]
+                )
             params = optax.apply_updates(state.params, updates)
             new_state = state.replace(
                 params=params,
@@ -166,7 +181,7 @@ class Trainer:
     ) -> TrainerState:
         """Epoch loop (reference model.py:173-344). ``val_fn(state) -> dict``
         is called every val_period epochs; returned scalars are logged."""
-        step_fns = {False: self.train_step_fn(False), True: None}
+        step_fns: dict = {}
         rng = jax.random.PRNGKey(self.seed + 1)
         py_step = int(state.step)  # host-side mirror; avoids per-step syncs
         for epoch in range(initial_epoch, epochs):
@@ -176,9 +191,14 @@ class Trainer:
                 use_vn = (
                     self.vn_start_step is not None and py_step >= self.vn_start_step
                 )
-                if use_vn and step_fns[True] is None:
-                    step_fns[True] = self.train_step_fn(True)
-                step_fn = step_fns[use_vn]
+                freeze = (
+                    self.encoder_frozen_steps is not None
+                    and py_step <= self.encoder_frozen_steps
+                )
+                key = (use_vn, freeze)
+                if key not in step_fns:
+                    step_fns[key] = self.train_step_fn(use_vn, freeze)
+                step_fn = step_fns[key]
                 batch = mesh_lib.shard_batch(self.mesh, batch, batch_axis=1)
                 state, metrics = step_fn(state, batch, rng)
                 py_step += 1
