@@ -87,10 +87,27 @@ def rnnt_loss(
     y_len: jnp.ndarray,
     blank: int = 0,
 ) -> jnp.ndarray:
-    """Per-sample RNN-T negative log likelihood from raw joint logits."""
-    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    blank_lp = lp[..., blank]
+    """Per-sample RNN-T negative log likelihood from raw joint logits.
+
+    Only the log-normaliser (B, T, U+1) and the two gathered rows are formed —
+    the full (B, T, U+1, V) log-softmax is never materialised (its gradient is,
+    necessarily; XLA fuses that into one recompute pass in the backward).
+    """
+    logits = logits.astype(jnp.float32)
+    m = jax.lax.stop_gradient(jnp.max(logits, axis=-1))
+    lse = m + jnp.log(jnp.sum(jnp.exp(logits - m[..., None]), axis=-1))
+    blank_lp = logits[..., blank] - lse
     # emit[t, u] = lp[t, u, y_{u+1}]; pad labels with a dummy for the last column
     lab = jnp.concatenate([labels, jnp.zeros_like(labels[:, :1])], axis=1)  # (B, U+1)
-    emit_lp = jnp.take_along_axis(lp, lab[:, None, :, None], axis=3)[..., 0]
+    emit_lp = (
+        jnp.take_along_axis(logits, lab[:, None, :, None], axis=3)[..., 0] - lse
+    )
+    if jax.default_backend() not in ("cpu",):
+        # single-kernel Pallas wavefront (alpha fwd + beta/grad bwd); the scan
+        # below is the executable specification and CPU fallback
+        from efficientconformer_tpu.ops.pallas_rnnt import (
+            rnnt_loss_from_gathered_pallas,
+        )
+
+        return rnnt_loss_from_gathered_pallas(blank_lp, emit_lp, f_len, y_len)
     return rnnt_loss_from_gathered(blank_lp, emit_lp, f_len, y_len)
