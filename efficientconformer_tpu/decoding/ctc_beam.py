@@ -117,8 +117,13 @@ def beam_search_batch(
     beta: float = 0.0,
     ngram_offset: int = 100,
     use_native: bool = True,
+    cutoff_top_n: int = 0,
 ) -> List[List[int]]:
-    """Batch beam search; prefers the C++ implementation when built."""
+    """Batch beam search; prefers the C++ implementation when built.
+
+    cutoff_top_n: per-frame candidate pruning (ctcdecode parameter); 0 keeps
+    the full vocabulary like the reference (model_ctc.py:150).
+    """
     from efficientconformer_tpu.decoding import native_binding as nb
 
     if use_native and nb.available():
@@ -130,7 +135,8 @@ def beam_search_batch(
                 print("Ngram language model not found...")
         return [
             nb.ctc_beam_search_native(
-                log_probs[b], int(seq_lens[b]), beam_size, 0, lm, alpha, beta
+                log_probs[b], int(seq_lens[b]), beam_size, 0, lm, alpha, beta,
+                cutoff_top_n,
             )
             for b in range(log_probs.shape[0])
         ]

@@ -42,7 +42,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.ecf_ctc_beam_search.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
-        ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_double, ctypes.c_int,
         ctypes.POINTER(ctypes.c_int), ctypes.c_int,
     ]
     _lib = lib
@@ -83,6 +83,7 @@ def ctc_beam_search_native(
     lm: Optional[NativeArpa] = None,
     alpha: float = 0.0,
     beta: float = 0.0,
+    cutoff_top_n: int = 0,   # 0 = full vocabulary (reference default)
 ) -> List[int]:
     lib = _load()
     assert lib is not None
@@ -93,7 +94,7 @@ def ctc_beam_search_native(
         lp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         t, v, int(seq_len), beam_size, blank,
         lm._handle if lm is not None else None,
-        alpha, beta,
+        alpha, beta, cutoff_top_n,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         t,
     )

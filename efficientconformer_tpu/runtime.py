@@ -118,6 +118,7 @@ def decode_batch(trainer: Trainer, state, batch, tokenizer,
                 alpha=dp.get("ngram_alpha", 0.0),
                 beta=dp.get("ngram_beta", 0.0),
                 ngram_offset=dp.get("ngram_offset", 100),
+                cutoff_top_n=dp.get("cutoff_top_n", 0),
             )
             return tokenizer.decode(token_lists)
         toks, n = ctc_mod.greedy_decode(

@@ -182,7 +182,9 @@ struct PrefixKey {
 
 int beam_search(const float* log_probs, int t_max, int v, int seq_len,
                 int beam_size, int blank, const Arpa* lm, double alpha,
-                double beta, int* out_tokens, int max_out) {
+                double beta, int cutoff_top_n, int* out_tokens, int max_out) {
+  if (cutoff_top_n <= 0 || cutoff_top_n > v) cutoff_top_n = v;
+  std::vector<int> cand(v);
   std::unordered_map<std::vector<int>, Beam, PrefixKey> beams;
   {
     Beam b;
@@ -194,6 +196,19 @@ int beam_search(const float* log_probs, int t_max, int v, int seq_len,
 
   for (int t = 0; t < seq_len && t < t_max; ++t) {
     const float* lp = log_probs + static_cast<size_t>(t) * v;
+
+    // per-frame candidate pruning (ctcdecode's cutoff_top_n); the blank is
+    // always a candidate so prefixes can terminate
+    int n_cand = cutoff_top_n;
+    for (int c = 0; c < v; ++c) cand[c] = c;
+    if (cutoff_top_n < v) {
+      std::partial_sort(cand.begin(), cand.begin() + cutoff_top_n, cand.end(),
+                        [lp](int a, int b) { return lp[a] > lp[b]; });
+      bool has_blank = false;
+      for (int i = 0; i < cutoff_top_n; ++i) has_blank |= (cand[i] == blank);
+      if (!has_blank) cand[cutoff_top_n - 1] = blank;
+    }
+
     std::unordered_map<std::vector<int>, Beam, PrefixKey> next;
 
     auto entry = [&next](const std::vector<int>& prefix) -> Beam& {
@@ -209,7 +224,8 @@ int beam_search(const float* log_probs, int t_max, int v, int seq_len,
     for (const auto& kv : beams) {
       const Beam& b = kv.second;
       double p_tot = logaddexp(b.p_blank, b.p_nonblank);
-      for (int c = 0; c < v; ++c) {
+      for (int ci = 0; ci < n_cand; ++ci) {
+        int c = cand[ci];
         double p = lp[c];
         if (c == blank) {
           Beam& e = entry(b.prefix);
@@ -298,10 +314,11 @@ int ecf_arpa_order(void* lm) { return static_cast<Arpa*>(lm)->order; }
 
 int ecf_ctc_beam_search(const float* log_probs, int t_max, int v, int seq_len,
                         int beam_size, int blank, void* lm, double alpha,
-                        double beta, int* out_tokens, int max_out) {
+                        double beta, int cutoff_top_n, int* out_tokens,
+                        int max_out) {
   return beam_search(log_probs, t_max, v, seq_len, beam_size, blank,
-                     static_cast<const Arpa*>(lm), alpha, beta, out_tokens,
-                     max_out);
+                     static_cast<const Arpa*>(lm), alpha, beta, cutoff_top_n,
+                     out_tokens, max_out);
 }
 
 }  // extern "C"
