@@ -181,6 +181,9 @@ class Trainer:
     ) -> TrainerState:
         """Epoch loop (reference model.py:173-344). ``val_fn(state) -> dict``
         is called every val_period epochs; returned scalars are logged."""
+        from efficientconformer_tpu.training import schedules
+
+        lr_fn = schedules.from_training_params(self.config.training_params)
         step_fns: dict = {}
         rng = jax.random.PRNGKey(self.seed + 1)
         py_step = int(state.step)  # host-side mirror; avoids per-step syncs
@@ -205,7 +208,10 @@ class Trainer:
                 losses.append(metrics["loss"])
                 if log_writer is not None and (i + 1) % 10 == 0:
                     log_writer.add_scalar(
-                        "Training/Loss", float(metrics["loss"]), int(state.step)
+                        "Training/Loss", float(metrics["loss"]), py_step
+                    )
+                    log_writer.add_scalar(
+                        "Training/LearningRate", float(lr_fn(py_step - 1)), py_step
                     )
                 if steps_per_epoch and i + 1 >= steps_per_epoch:
                     break
