@@ -268,23 +268,47 @@ class MultiHeadSelfAttention(nn.Module):
             new_hidden = {"k": k, "v": v}
             hid_len = k.shape[1] - q.shape[1]
             dh = d // h
-            e = pos_layer(
-                P.relative_encoding(
-                    q.shape[1], d, hidden_len=hid_len, causal=self.causal
-                ).astype(x.dtype)
-            ).reshape(-1, h, dh)
             qu = A.split_heads(q + u.astype(x.dtype), h)
             qv = A.split_heads(q + vbias.astype(x.dtype), h)
             kh = A.split_heads(k, h)
             vh = A.split_heads(v, h)
-            rel = jnp.einsum("bhqd,lhd->bhql", qv, e)
-            att_e = (
-                A.rel_to_abs_causal(rel) if self.causal else A.rel_to_abs_full(rel)
-            )
-            bias = att_e / math.sqrt(dh)
-            if mask is not None:
-                bias = bias + mask * A.NEG_INF
-            o = _attend(qu, kh, vh, bias, 1.0 / math.sqrt(dh), self.fused)
+
+            key_only_mask = mask is None or mask.shape[-2] == 1
+            if not self.causal and key_only_mask:
+                # Factorised rel-pos (exact, see ops/rel_factorize.py): fold
+                # the sinusoidal scores into augmented q/k features so no
+                # (B, H, N, N) bias tensor is materialised — the HBM-dominant
+                # term of the skewing path at batch scale.
+                from efficientconformer_tpu.ops import rel_factorize as RF
+
+                # force pos-layer parameter creation, then read its kernel
+                pos_w = pos_layer(jnp.zeros((1, d), x.dtype))
+                w = pos_layer.variables["params"]["kernel"].astype(x.dtype)
+                a_feat = RF.rel_query_features(qv, w, hidden_len=hid_len)
+                c_feat = RF.rel_key_features(k.shape[1], d, x.dtype)
+                q_aug = jnp.concatenate([qu, a_feat], axis=-1)
+                k_aug = jnp.concatenate(
+                    [kh, jnp.broadcast_to(
+                        c_feat[None, None], (kh.shape[0], h) + c_feat.shape
+                    )],
+                    axis=-1,
+                )
+                bias = mask * A.NEG_INF if mask is not None else None
+                o = _attend(q_aug, k_aug, vh, bias, 1.0 / math.sqrt(dh), self.fused)
+            else:
+                e = pos_layer(
+                    P.relative_encoding(
+                        q.shape[1], d, hidden_len=hid_len, causal=self.causal
+                    ).astype(x.dtype)
+                ).reshape(-1, h, dh)
+                rel = jnp.einsum("bhqd,lhd->bhql", qv, e)
+                att_e = (
+                    A.rel_to_abs_causal(rel) if self.causal else A.rel_to_abs_full(rel)
+                )
+                bias = att_e / math.sqrt(dh)
+                if mask is not None:
+                    bias = bias + mask * A.NEG_INF
+                o = _attend(qu, kh, vh, bias, 1.0 / math.sqrt(dh), self.fused)
             o = A.merge_heads(o)
             return Dense(d, name="output", vn_std=self.vn_std)(o), new_hidden
 

@@ -56,11 +56,12 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
     q = q_ref[0, 0]
     k = k_ref[0, 0]
     v = v_ref[0, 0]
-    bias = bias_ref[0, 0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    s = s * scale + bias.astype(jnp.float32)
+    # bias block is (1, 1, Nq, Nk), or (1, 1, 1, Nk) for a pure key-padding
+    # mask (broadcast over query rows)
+    s = s * scale + bias_ref[0, 0].astype(jnp.float32)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     p = p / jnp.sum(p, axis=-1, keepdims=True)
@@ -136,12 +137,27 @@ def _fused_forward(
     qp = pad_qkv(q, nqp)
     kp = pad_qkv(k, nkp)
     vp = pad_qkv(v, nkp)
-    bias = jnp.broadcast_to(bias, (b, h, nq, nk))
-    # padded key columns must be masked; padded query rows are sliced off
-    biasp = jnp.pad(
-        bias, ((0, 0), (0, 0), (0, nqp - nq), (0, nkp - nk)),
-        constant_values=NEG_INF,
-    )
+
+    # A (Bb, Hb, 1, Nk) bias is a pure key mask: keep it un-broadcast (one row
+    # per batch entry) so no (B, H, Nq, Nk) tensor ever reaches HBM. Anything
+    # else is broadcast to the full score shape.
+    keymask = bias.shape[-2] == 1 and bias.shape[1] == 1
+    if keymask:
+        bias_b = bias.shape[0]
+        biasp = jnp.pad(
+            bias, ((0, 0), (0, 0), (0, 0), (0, nkp - nk)),
+            constant_values=NEG_INF,
+        )
+        bias_rows = 1
+    else:
+        bias = jnp.broadcast_to(bias, (b, h, nq, nk))
+        # padded key columns must be masked; padded query rows are sliced off
+        biasp = jnp.pad(
+            bias, ((0, 0), (0, 0), (0, nqp - nq), (0, nkp - nk)),
+            constant_values=NEG_INF,
+        )
+        bias_b = b
+        bias_rows = nqp
 
     grid = (b, h)
     spec_q = pl.BlockSpec(
@@ -150,8 +166,14 @@ def _fused_forward(
     spec_kv = pl.BlockSpec(
         (1, 1, nkp, dp), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
     )
+    if keymask and bias_b > 1:
+        bias_map = lambda i, j: (i, 0, 0, 0)
+    elif keymask:
+        bias_map = lambda i, j: (0, 0, 0, 0)
+    else:
+        bias_map = lambda i, j: (i, j, 0, 0)
     spec_bias = pl.BlockSpec(
-        (1, 1, nqp, nkp), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+        (1, 1, bias_rows, nkp), bias_map, memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
         functools.partial(_kernel, scale=scale),

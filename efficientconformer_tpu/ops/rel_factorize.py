@@ -1,0 +1,71 @@
+"""Factorized relative-position attention scores.
+
+The rel-pos score of the skewing path is
+    S2_h[i, j] = Qv_h[i] . E_h[v],   v = i + Th - j,
+    E = pos_layer(sinusoid(v))  (bias dropped: constant per query row, so it
+                                 cancels in the softmax)
+Because the encoding is sinusoidal, S2 factorises exactly by the angle-addition
+identities: with gamma_h = Qv_h @ W_h^T  (W_h = pos_layer kernel columns of
+head h), alpha_k = gamma[2k], beta_k = gamma[2k+1], omega_k the sinusoid
+frequencies, and s_i = sin((i+Th) w_k), c_i = cos((i+Th) w_k):
+
+    S2_h[i, j] = A_h[i] . C[j]
+    A_h[i][2k]   = alpha_k s_i + beta_k c_i
+    A_h[i][2k+1] = beta_k s_i - alpha_k c_i
+    C[j][2k]     = cos(j w_k)
+    C[j][2k+1]   = sin(j w_k)
+
+So rel-pos attention is plain attention over augmented features
+q~ = [Qu, A], k~ = [K, C] — no (B, H, N, N) bias tensor is ever materialised,
+which removes the dominant HBM traffic of the skewing path at batch scale.
+Exactness is verified against the skewing path in tests/test_rel_factorize.py.
+
+Only the full-context (non-causal) plain variant needs this (the encoder hot
+path); grouped/local/strided and causal variants keep the skewing path.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _freqs(dim: int) -> np.ndarray:
+    return 1.0 / 10000.0 ** (2.0 * np.arange(dim // 2) / dim)
+
+
+def rel_query_features(
+    qv: jnp.ndarray,          # (B, H, N, dh) query + v-bias, head-split
+    pos_kernel: jnp.ndarray,  # (D, D) pos_layer Dense kernel
+    hidden_len: int = 0,
+) -> jnp.ndarray:
+    """A: (B, H, N, D) query-side augmented features."""
+    b, h, n, dh = qv.shape
+    d = pos_kernel.shape[0]
+    # gamma[b,h,i,:] = qv[b,h,i,:] @ W_h^T, W_h = pos_kernel[:, h*dh:(h+1)*dh]
+    w = pos_kernel.reshape(d, h, dh)                      # (D, H, dh)
+    gamma = jnp.einsum("bhnd,khd->bhnk", qv, w)           # (B, H, N, D)
+    alpha = gamma[..., 0::2]
+    beta = gamma[..., 1::2]
+
+    wk = jnp.asarray(_freqs(d), qv.dtype)                 # (D/2,)
+    pos = (jnp.arange(n) + hidden_len).astype(qv.dtype)   # (N,)
+    ang = pos[:, None] * wk[None, :]                      # (N, D/2)
+    s = jnp.sin(ang)[None, None]
+    c = jnp.cos(ang)[None, None]
+
+    a = jnp.zeros((b, h, n, d), qv.dtype)
+    a = a.at[..., 0::2].set(alpha * s + beta * c)
+    a = a.at[..., 1::2].set(beta * s - alpha * c)
+    return a
+
+
+def rel_key_features(n_keys: int, dim: int, dtype=jnp.float32) -> jnp.ndarray:
+    """C: (n_keys, D) key-side augmented features (shared across batch/heads)."""
+    wk = _freqs(dim)
+    pos = np.arange(n_keys)
+    ang = pos[:, None] * wk[None, :]
+    out = np.zeros((n_keys, dim), np.float32)
+    out[:, 0::2] = np.cos(ang)
+    out[:, 1::2] = np.sin(ang)
+    return jnp.asarray(out, dtype)

@@ -1,0 +1,69 @@
+"""Factorized rel-pos scores must equal the skewing path exactly."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from efficientconformer_tpu.models.attentions import MultiHeadSelfAttention
+from efficientconformer_tpu.ops import attention as A
+from efficientconformer_tpu.ops import pos_enc as P
+from efficientconformer_tpu.ops import rel_factorize as RF
+from efficientconformer_tpu.ops.masks import padding_mask, streaming_mask
+
+
+@pytest.mark.parametrize("t,th", [(12, 0), (9, 5)])
+def test_scores_equal_skew_path(t, th):
+    b, h, d = 2, 2, 16
+    dh = d // h
+    rng = np.random.default_rng(0)
+    qv = jnp.asarray(rng.standard_normal((b, h, t, dh)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((d, d)).astype(np.float32))
+
+    # skew path (bias dropped from the Dense — factorization omits it since
+    # it's softmax-invariant; compare the kernel term only)
+    enc = P.relative_encoding(t, d, hidden_len=th, causal=False)
+    e = (enc @ w).reshape(-1, h, dh)
+    rel = jnp.einsum("bhqd,lhd->bhql", qv, e)
+    want = A.rel_to_abs_full(rel)
+
+    a_feat = RF.rel_query_features(qv, w, hidden_len=th)
+    c_feat = RF.rel_key_features(th + t, d)
+    got = jnp.einsum("bhnd,md->bhnm", a_feat, c_feat)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3)
+
+
+def test_module_factorized_equals_full_mask_path():
+    """The module's factorized branch (key-only mask) must produce the same
+    output as the skewing branch (full (B,1,T,T) mask with equal semantics)."""
+    b, t, d, hds = 2, 12, 16, 2
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((b, t, d)).astype(np.float32)
+    )
+    x_len = jnp.array([12, 9])
+    mod = MultiHeadSelfAttention(dim_model=d, num_heads=hds, relative_pos_enc=True)
+    params = mod.init(jax.random.PRNGKey(0), x)
+
+    key_mask = padding_mask(t, x_len)              # (B,1,1,T) -> factorized
+    full_mask = streaming_mask(t, x_len, t, t)     # (B,1,T,T) -> skew path
+    out_fact, _ = mod.apply(params, x, key_mask)
+    out_skew, _ = mod.apply(params, x, full_mask)
+    np.testing.assert_allclose(
+        np.asarray(out_fact), np.asarray(out_skew), atol=2e-4
+    )
+
+
+def test_module_factorized_no_mask():
+    b, t, d, hds = 1, 10, 16, 2
+    x = jnp.asarray(
+        np.random.default_rng(2).standard_normal((b, t, d)).astype(np.float32)
+    )
+    mod = MultiHeadSelfAttention(dim_model=d, num_heads=hds, relative_pos_enc=True)
+    params = mod.init(jax.random.PRNGKey(0), x)
+    out_fact, _ = mod.apply(params, x, None)
+    full_mask = streaming_mask(t, jnp.array([t]), t, t)
+    out_skew, _ = mod.apply(params, x, full_mask)
+    np.testing.assert_allclose(
+        np.asarray(out_fact), np.asarray(out_skew), atol=2e-4
+    )
