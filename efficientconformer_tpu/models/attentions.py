@@ -142,25 +142,55 @@ class MultiHeadSelfAttention(nn.Module):
                 mask_p = M.pad_mask_to_multiple(mask, g)
                 t_pad = qp.shape[1]
                 hid_len = kp.shape[1] - t_pad
-                e = pos_layer(
-                    P.grouped_relative_encoding(
-                        t_pad, d, g, hidden_len=hid_len, causal=self.causal
-                    ).astype(x.dtype)
-                )
                 dh = g * d // h
                 qu = A.group_time(qp + u.astype(x.dtype), h, g)
                 qv = A.group_time(qp + vbias.astype(x.dtype), h, g)
                 kg = A.group_time(kp, h, g)
                 vg = A.group_time(vp, h, g)
-                eg = e.reshape(-1, h, dh)
-                att_e = jnp.einsum("bhqd,lhd->bhql", qv, eg)
-                att_e = (
-                    A.rel_to_abs_causal(att_e) if self.causal else A.rel_to_abs_full(att_e)
-                )
-                bias = att_e / math.sqrt(dh)
-                if mask_p is not None:
-                    bias = bias + mask_p[:, :, ::g, ::g] * A.NEG_INF
-                o = _attend(qu, kg, vg, bias, 1.0 / math.sqrt(dh), self.fused)
+
+                key_only = mask_p is None or mask_p.shape[-2] == 1
+                # Factorisation requires the encoding values to be linear in
+                # (p - q), which holds only for odd G (even-G tables duplicate
+                # position 0, see ops/pos_enc.grouped_relative_encoding).
+                if not self.causal and key_only and g % 2 == 1:
+                    # factorised grouped rel-pos: no (B, H, Ng, Ng) bias
+                    from efficientconformer_tpu.ops import rel_factorize as RF
+
+                    pos_layer(jnp.zeros((1, d), x.dtype))  # create params
+                    w = pos_layer.variables["params"]["kernel"].astype(x.dtype)
+                    a_feat = RF.grouped_rel_query_features(qv, w, g, hid_len)
+                    c_feat = RF.rel_key_features(
+                        kg.shape[2], d, x.dtype, stride=g
+                    )
+                    q_aug = jnp.concatenate([qu, a_feat], axis=-1)
+                    k_aug = jnp.concatenate(
+                        [kg, jnp.broadcast_to(
+                            c_feat[None, None], (kg.shape[0], h) + c_feat.shape
+                        )],
+                        axis=-1,
+                    )
+                    bias = (
+                        mask_p[:, :, ::g, ::g] * A.NEG_INF
+                        if mask_p is not None else None
+                    )
+                    o = _attend(q_aug, k_aug, vg, bias, 1.0 / math.sqrt(dh),
+                                self.fused)
+                else:
+                    e = pos_layer(
+                        P.grouped_relative_encoding(
+                            t_pad, d, g, hidden_len=hid_len, causal=self.causal
+                        ).astype(x.dtype)
+                    )
+                    eg = e.reshape(-1, h, dh)
+                    att_e = jnp.einsum("bhqd,lhd->bhql", qv, eg)
+                    att_e = (
+                        A.rel_to_abs_causal(att_e)
+                        if self.causal else A.rel_to_abs_full(att_e)
+                    )
+                    bias = att_e / math.sqrt(dh)
+                    if mask_p is not None:
+                        bias = bias + mask_p[:, :, ::g, ::g] * A.NEG_INF
+                    o = _attend(qu, kg, vg, bias, 1.0 / math.sqrt(dh), self.fused)
                 o = A.ungroup_time(o, d)[:, :t_in]
                 return Dense(d, name="output", vn_std=self.vn_std)(o), new_hidden
 

@@ -60,12 +60,68 @@ def rel_query_features(
     return a
 
 
-def rel_key_features(n_keys: int, dim: int, dtype=jnp.float32) -> jnp.ndarray:
-    """C: (n_keys, D) key-side augmented features (shared across batch/heads)."""
+def rel_key_features(
+    n_keys: int, dim: int, dtype=jnp.float32, stride: int = 1
+) -> jnp.ndarray:
+    """C: (n_keys, D) key-side augmented features (shared across batch/heads).
+
+    ``stride`` scales key positions (grouped attention: key group q sits at
+    ungrouped position G*q)."""
     wk = _freqs(dim)
-    pos = np.arange(n_keys)
+    pos = np.arange(n_keys) * stride
     ang = pos[:, None] * wk[None, :]
     out = np.zeros((n_keys, dim), np.float32)
     out[:, 0::2] = np.cos(ang)
     out[:, 1::2] = np.sin(ang)
     return jnp.asarray(out, dtype)
+
+
+def grouped_rel_query_features(
+    qv_g: jnp.ndarray,        # (B, H, Ng, G*D/H) grouped query + v-bias
+    pos_kernel: jnp.ndarray,  # (D, D) pos_layer Dense kernel
+    group_size: int,
+    hidden_len: int = 0,      # ungrouped units, group-aligned
+) -> jnp.ndarray:
+    """A: (B, H, Ng, D) query-side features for grouped rel-pos attention.
+
+    Grouped attention folds G frames into the head dim, so each head's rel
+    feature vector is a slice of the concatenation of G consecutive encodings
+    (reference models/attentions.py:686-691). The grouped encoding value for
+    (query group p, key group q, chunk r) is v = G*p - G*q + c_r with
+    c_r = G - 1 - G//2 + hidden_len - r, so the factorisation of
+    rel_query_features applies per chunk with phase (G*p + c_r) and sums over
+    chunks (the key-side features depend on G*q only). Verified exact against
+    the skewing path in tests/test_rel_factorize.py.
+    """
+    b, h, ng, dhg = qv_g.shape
+    d = pos_kernel.shape[0]
+    g = group_size
+
+    wk = jnp.asarray(_freqs(d), qv_g.dtype)               # (D/2,)
+    p_pos = (jnp.arange(ng) * g).astype(qv_g.dtype)       # (Ng,)
+
+    a = jnp.zeros((b, h, ng, d), qv_g.dtype)
+    for head in range(h):
+        f0 = head * dhg
+        for r in range(g):
+            # global grouped-feature indices f in [f0, f0+dhg) with f//D == r
+            lo = max(r * d, f0)
+            hi = min((r + 1) * d, f0 + dhg)
+            if lo >= hi:
+                continue
+            j_lo, j_hi = lo - f0, hi - f0
+            d_lo, d_hi = lo - r * d, hi - r * d
+            # gamma_r = qv_seg @ W_seg^T: (B, Ng, L) @ (L, D) -> (B, Ng, D)
+            w_seg = pos_kernel[:, d_lo:d_hi].astype(qv_g.dtype)   # (D, L)
+            gamma = jnp.einsum(
+                "bnl,kl->bnk", qv_g[:, head, :, j_lo:j_hi], w_seg
+            )
+            alpha = gamma[..., 0::2]
+            beta = gamma[..., 1::2]
+            c_r = g - 1 - g // 2 + hidden_len - r
+            ang = (p_pos + c_r)[:, None] * wk[None, :]            # (Ng, D/2)
+            s = jnp.sin(ang)[None]
+            c = jnp.cos(ang)[None]
+            a = a.at[:, head, :, 0::2].add(alpha * s + beta * c)
+            a = a.at[:, head, :, 1::2].add(beta * s - alpha * c)
+    return a

@@ -54,6 +54,54 @@ def test_module_factorized_equals_full_mask_path():
     )
 
 
+@pytest.mark.parametrize("t,g", [(12, 3), (15, 3), (12, 2)])
+def test_module_grouped_factorized_equals_skew(t, g):
+    """Grouped factorized branch (key-only mask) == grouped skew branch
+    (full mask with equal semantics)."""
+    b, d, hds = 2, 12, 2
+    x = jnp.asarray(
+        np.random.default_rng(3).standard_normal((b, t, d)).astype(np.float32)
+    )
+    x_len = jnp.array([t, t - 4])
+    mod = MultiHeadSelfAttention(
+        dim_model=d, num_heads=hds, relative_pos_enc=True, group_size=g
+    )
+    params = mod.init(jax.random.PRNGKey(0), x)
+    key_mask = padding_mask(t, x_len)
+    full_mask = streaming_mask(t, x_len, t, t)
+    out_fact, _ = mod.apply(params, x, key_mask)
+    out_skew, _ = mod.apply(params, x, full_mask)
+    np.testing.assert_allclose(
+        np.asarray(out_fact), np.asarray(out_skew), atol=2e-4
+    )
+
+
+def test_module_grouped_factorized_with_hidden():
+    """Grouped factorized path with a group-aligned KV cache (streaming)."""
+    b, t, d, hds, g = 1, 9, 12, 2, 3
+    x = jnp.asarray(
+        np.random.default_rng(4).standard_normal((b, t, d)).astype(np.float32)
+    )
+    mod = MultiHeadSelfAttention(
+        dim_model=d, num_heads=hds, relative_pos_enc=True, group_size=g
+    )
+    params = mod.init(jax.random.PRNGKey(0), x)
+    # feed first 6 frames, then next 3 with hidden; compare the second chunk's
+    # output between the factorized (no mask) and skew (full mask) paths
+    _, hid = mod.apply(params, x[:, :6], None)
+    out_fact, _ = mod.apply(params, x[:, 6:], None, hid)
+
+    # skew path forced via a full-context (tq x tk is not expressible with the
+    # streaming helper here) — use the causal-free skew by passing a full mask
+    # of zeros shaped (B, 1, Tq_grouped*g, Tk...) is not supported; instead
+    # compare against the full-sequence pass restricted to the last chunk,
+    # which equals chunked attention for group-aligned full-context windows.
+    full, _ = mod.apply(params, x, None)
+    np.testing.assert_allclose(
+        np.asarray(out_fact), np.asarray(full)[:, 6:], atol=2e-4
+    )
+
+
 def test_module_factorized_no_mask():
     b, t, d, hds = 1, 10, 16, 2
     x = jnp.asarray(
