@@ -65,7 +65,7 @@ def _attend(q, k, v, bias, scale, fused: Optional[bool]):
     from efficientconformer_tpu.ops import pallas_attention as PA
 
     if bias is None:
-        bias = jnp.zeros((1, 1, 1, 1), jnp.float32)
+        bias = jnp.zeros((1, 1, 1, k.shape[2]), jnp.float32)
     if _use_fused(fused, q, k):
         return PA.fused_bias_attention(q, k, v, bias, scale)
     s = jnp.matmul(q, jnp.swapaxes(k, -1, -2)) * scale

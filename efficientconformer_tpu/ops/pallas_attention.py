@@ -123,20 +123,26 @@ def _fused_forward(
     bias: jnp.ndarray,   # (B or 1, H or 1, Nq, Nk) additive (rel scores + mask)
     scale: float,
 ) -> jnp.ndarray:
-    """softmax(q k^T * scale + bias) v, fused per (b, h)."""
+    """softmax(q k^T * scale + bias) v, fused per (b, h).
+
+    q/k share a feature width; v may have a different one (the factorized
+    rel-pos path augments q/k but not v)."""
     b, h, nq, d = q.shape
     nk = k.shape[2]
+    dv = v.shape[3]
     nqp = _round_up(nq, SUBLANE)
     nkp = _round_up(nk, SUBLANE)
     dp = _round_up(d, LANE)
+    dvp = _round_up(dv, LANE)
 
-    def pad_qkv(x, np_):
-        n = x.shape[2]
-        return jnp.pad(x, ((0, 0), (0, 0), (0, np_ - n), (0, dp - d)))
+    def pad_to(x, np_, dp_):
+        return jnp.pad(
+            x, ((0, 0), (0, 0), (0, np_ - x.shape[2]), (0, dp_ - x.shape[3]))
+        )
 
-    qp = pad_qkv(q, nqp)
-    kp = pad_qkv(k, nkp)
-    vp = pad_qkv(v, nkp)
+    qp = pad_to(q, nqp, dp)
+    kp = pad_to(k, nkp, dp)
+    vp = pad_to(v, nkp, dvp)
 
     # A (Bb, Hb, 1, Nk) bias is a pure key mask: keep it un-broadcast (one row
     # per batch entry) so no (B, H, Nq, Nk) tensor ever reaches HBM. Anything
@@ -144,6 +150,8 @@ def _fused_forward(
     keymask = bias.shape[-2] == 1 and bias.shape[1] == 1
     if keymask:
         bias_b = bias.shape[0]
+        if bias.shape[-1] != nk:  # e.g. an all-zeros (.., 1) placeholder
+            bias = jnp.broadcast_to(bias, bias.shape[:3] + (nk,))
         biasp = jnp.pad(
             bias, ((0, 0), (0, 0), (0, 0), (0, nkp - nk)),
             constant_values=NEG_INF,
@@ -163,8 +171,14 @@ def _fused_forward(
     spec_q = pl.BlockSpec(
         (1, 1, nqp, dp), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
     )
-    spec_kv = pl.BlockSpec(
+    spec_k = pl.BlockSpec(
         (1, 1, nkp, dp), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+    )
+    spec_v = pl.BlockSpec(
+        (1, 1, nkp, dvp), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+    )
+    spec_o = pl.BlockSpec(
+        (1, 1, nqp, dvp), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
     )
     if keymask and bias_b > 1:
         bias_map = lambda i, j: (i, 0, 0, 0)
@@ -178,19 +192,19 @@ def _fused_forward(
     out = pl.pallas_call(
         functools.partial(_kernel, scale=scale),
         grid=grid,
-        in_specs=[spec_q, spec_kv, spec_kv, spec_bias],
-        out_specs=spec_q,
-        out_shape=jax.ShapeDtypeStruct((b, h, nqp, dp), q.dtype),
+        in_specs=[spec_q, spec_k, spec_v, spec_bias],
+        out_specs=spec_o,
+        out_shape=jax.ShapeDtypeStruct((b, h, nqp, dvp), q.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_BUDGET,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * h * (nqp * nkp * dp * 2),
-            bytes_accessed=b * h * (2 * nqp * dp + 2 * nkp * dp + nqp * nkp) * 4,
+            flops=2 * b * h * nqp * nkp * (dp + dvp),
+            bytes_accessed=b * h * (2 * nqp * dp + nkp * (dp + dvp)) * 4,
             transcendentals=b * h * nqp * nkp,
         ),
     )(qp, kp, vp, biasp)
-    return out[:, :, :nq, :d]
+    return out[:, :, :nq, :dv]
 
 
 def reference_bias_attention(q, k, v, bias, scale):
