@@ -118,11 +118,14 @@ def beam_search_batch(
     ngram_offset: int = 100,
     use_native: bool = True,
     cutoff_top_n: int = 0,
+    num_workers: int = 8,
 ) -> List[List[int]]:
     """Batch beam search; prefers the C++ implementation when built.
 
     cutoff_top_n: per-frame candidate pruning (ctcdecode parameter); 0 keeps
-    the full vocabulary like the reference (model_ctc.py:150).
+    the full vocabulary like the reference (model_ctc.py:150). Utterances are
+    decoded across ``num_workers`` threads (the C++ search releases the GIL
+    during ctypes calls; mirrors the reference's num_processes=8).
     """
     from efficientconformer_tpu.decoding import native_binding as nb
 
@@ -133,13 +136,20 @@ def beam_search_batch(
                 lm = nb.NativeArpa(lm_path, ngram_offset)
             except FileNotFoundError:
                 print("Ngram language model not found...")
-        return [
-            nb.ctc_beam_search_native(
+
+        def one(b):
+            return nb.ctc_beam_search_native(
                 log_probs[b], int(seq_lens[b]), beam_size, 0, lm, alpha, beta,
                 cutoff_top_n,
             )
-            for b in range(log_probs.shape[0])
-        ]
+
+        n = log_probs.shape[0]
+        if num_workers > 1 and n > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=num_workers) as ex:
+                return list(ex.map(one, range(n)))
+        return [one(b) for b in range(n)]
 
     from efficientconformer_tpu.decoding.ngram import try_load
 

@@ -42,18 +42,16 @@ def _xavier_bias_init(num_heads: int, dim_head: int):
 
 
 def _use_fused(fused: Optional[bool], q, k) -> bool:
-    """Resolve the fused-kernel flag: None = auto (TPU backend + fits VMEM)."""
-    from efficientconformer_tpu.ops import pallas_attention as PA
-
+    """Resolve the fused-kernel flag: None = auto (Pallas on TPU backends).
+    Shapes beyond the single-block VMEM budget use the key-tiled flash
+    variant, so size no longer gates the decision."""
     if fused is False:
         return False
-    nq, nk, d = q.shape[2], k.shape[2], q.shape[3]
-    fits = PA.fits_vmem(nq, nk, d)
     if fused is True:
-        return fits
+        return True
     import jax
 
-    return fits and jax.default_backend() not in ("cpu",)
+    return jax.default_backend() not in ("cpu",)
 
 
 def _attend(q, k, v, bias, scale, fused: Optional[bool]):

@@ -85,11 +85,22 @@ def fused_bias_attention(
     Backward pass recomputes the probabilities with plain XLA matmuls
     (flash-style: nothing from the forward's (N, N) intermediates is stored).
     """
-    return _fused_forward(q, k, v, bias, scale)
+    return _dispatch_forward(q, k, v, bias, scale)
+
+
+def _dispatch_forward(q, k, v, bias, scale):
+    """Single-block kernel when (Nq, Nk) fits VMEM. Beyond that, XLA's own
+    attention tiling currently beats the key-tiled flash kernel below
+    (measured ~5x at N=2048 on v5e), so large shapes take the jnp path;
+    _flash_forward stays available (and tested) for future tuning."""
+    d = max(q.shape[3], v.shape[3])
+    if fits_vmem(q.shape[2], k.shape[2], d):
+        return _fused_forward(q, k, v, bias, scale)
+    return reference_bias_attention(q, k, v, bias, scale)
 
 
 def _fused_fwd(q, k, v, bias, scale):
-    return _fused_forward(q, k, v, bias, scale), (q, k, v, bias)
+    return _dispatch_forward(q, k, v, bias, scale), (q, k, v, bias)
 
 
 def _fused_bwd(scale, res, g):
@@ -202,6 +213,136 @@ def _fused_forward(
             flops=2 * b * h * nqp * nkp * (dp + dvp),
             bytes_accessed=b * h * (2 * nqp * dp + nkp * (dp + dvp)) * 4,
             transcendentals=b * h * nqp * nkp,
+        ),
+    )(qp, kp, vp, biasp)
+    return out[:, :, :nq, :dv]
+
+
+FLASH_TQ = 256
+FLASH_TK = 512
+
+
+def _flash_kernel(
+    q_ref, k_ref, v_ref, bias_ref, o_ref, m_scr, l_scr, acc_scr,
+    *, scale: float, nk_tiles: int,
+):
+    """Online-softmax attention: grid (B, H, q-tiles, k-tiles); the k-tile
+    axis is innermost and sequential, carrying (running max, denom, weighted
+    accumulator) in VMEM scratch. Removes the all-keys-in-VMEM requirement of
+    the single-block kernel."""
+    ik = pl.program_id(3)
+
+    @pl.when(ik == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * scale + bias_ref[0, 0].astype(jnp.float32)
+
+    m_prev = m_scr[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    corr = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_new = l_scr[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
+    acc = acc_scr[:] * corr + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+    acc_scr[:] = acc
+
+    @pl.when(ik == nk_tiles - 1)
+    def _():
+        o_ref[0, 0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
+
+
+def _flash_forward(q, k, v, bias, scale):
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    dv = v.shape[3]
+    nqp = _round_up(nq, FLASH_TQ)
+    nkp = _round_up(nk, FLASH_TK)
+    dp = _round_up(d, LANE)
+    dvp = _round_up(dv, LANE)
+    nq_tiles = nqp // FLASH_TQ
+    nk_tiles = nkp // FLASH_TK
+
+    def pad_to(x, np_, dp_):
+        return jnp.pad(
+            x, ((0, 0), (0, 0), (0, np_ - x.shape[2]), (0, dp_ - x.shape[3]))
+        )
+
+    qp = pad_to(q, nqp, dp)
+    kp = pad_to(k, nkp, dp)
+    vp = pad_to(v, nkp, dvp)
+
+    keymask = bias.shape[-2] == 1 and bias.shape[1] == 1
+    if keymask:
+        if bias.shape[-1] != nk:
+            bias = jnp.broadcast_to(bias, bias.shape[:3] + (nk,))
+        biasp = jnp.pad(
+            bias, ((0, 0), (0, 0), (0, 0), (0, nkp - nk)), constant_values=NEG_INF
+        )
+        bias_b = bias.shape[0]
+        if bias_b > 1:
+            bias_map = lambda i, j, iq, ik: (i, 0, 0, ik)
+        else:
+            bias_map = lambda i, j, iq, ik: (0, 0, 0, ik)
+        spec_bias = pl.BlockSpec(
+            (1, 1, 1, FLASH_TK), bias_map, memory_space=pltpu.VMEM
+        )
+    else:
+        bias = jnp.broadcast_to(bias, (b, h, nq, nk))
+        biasp = jnp.pad(
+            bias, ((0, 0), (0, 0), (0, nqp - nq), (0, nkp - nk)),
+            constant_values=NEG_INF,
+        )
+        spec_bias = pl.BlockSpec(
+            (1, 1, FLASH_TQ, FLASH_TK),
+            lambda i, j, iq, ik: (i, j, iq, ik),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid = (b, h, nq_tiles, nk_tiles)
+    spec_q = pl.BlockSpec(
+        (1, 1, FLASH_TQ, dp), lambda i, j, iq, ik: (i, j, iq, 0),
+        memory_space=pltpu.VMEM,
+    )
+    spec_kv_k = pl.BlockSpec(
+        (1, 1, FLASH_TK, dp), lambda i, j, iq, ik: (i, j, ik, 0),
+        memory_space=pltpu.VMEM,
+    )
+    spec_v = pl.BlockSpec(
+        (1, 1, FLASH_TK, dvp), lambda i, j, iq, ik: (i, j, ik, 0),
+        memory_space=pltpu.VMEM,
+    )
+    spec_o = pl.BlockSpec(
+        (1, 1, FLASH_TQ, dvp), lambda i, j, iq, ik: (i, j, iq, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, nk_tiles=nk_tiles),
+        grid=grid,
+        in_specs=[spec_q, spec_kv_k, spec_v, spec_bias],
+        out_specs=spec_o,
+        out_shape=jax.ShapeDtypeStruct((b, h, nqp, dvp), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((FLASH_TQ, LANE), jnp.float32),
+            pltpu.VMEM((FLASH_TQ, LANE), jnp.float32),
+            pltpu.VMEM((FLASH_TQ, dvp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_BUDGET,
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
     )(qp, kp, vp, biasp)
     return out[:, :, :nq, :dv]
