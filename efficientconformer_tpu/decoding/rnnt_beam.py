@@ -146,3 +146,131 @@ def beam_search(
         best = max(beams, key=Hyp.norm_score.fget)
         results.append(best.prediction[1:])
     return results
+
+
+def beam_search_batched(
+    model: Transducer,
+    variables,
+    x: jnp.ndarray,
+    x_len: jnp.ndarray,
+    *,
+    beam_size: int = 16,
+    tmp: float = 1.0,
+    ngram: Optional[ArpaLM] = None,
+    ngram_alpha: float = 0.0,
+    ngram_beta: float = 0.0,
+) -> List[List[int]]:
+    """Beam search with expansions batched across utterances.
+
+    Per-sample semantics are identical to ``beam_search`` (each utterance runs
+    its own Graves expansion loop) but every expansion wave issues ONE
+    prediction-network/joint device call covering all still-active samples —
+    ~B x fewer host-device round trips. Finished samples idle with dummy
+    tokens until the wave drains.
+    """
+    f, f_len, _ = model.apply(variables, x, x_len, False, method=Transducer.encode)
+    bsz = x.shape[0]
+
+    dec_step = jax.jit(
+        lambda tok, carry: model.apply(
+            variables, tok, carry, method=Transducer.decode_step
+        )
+    )
+    joint_step = jax.jit(
+        lambda f_t, g: model.apply(variables, f_t, g, method=Transducer.joint_step)
+    )
+    init_carry = model.apply(variables, bsz, method=Transducer.decoder_init_carry)
+
+    def carry_slice(carry, idx):
+        return jax.tree.map(lambda c: _take_batch(c, idx), carry)
+
+    # per-sample state
+    beams = [
+        [Hyp([0], 0.0, hidden=carry_slice(init_carry, b),
+             ngram_state=ngram.start_state() if ngram is not None else ())]
+        for b in range(bsz)
+    ]
+    t_ptr = [0] * bsz
+    a_hyps: List[List[Hyp]] = [[] for _ in range(bsz)]
+    new_beams: List[List[Hyp]] = [[] for _ in range(bsz)]
+    expansions = [0] * bsz
+    in_frame = [False] * bsz
+
+    f_len_host = [int(v) for v in f_len]
+
+    def frame_done(b):
+        return t_ptr[b] >= f_len_host[b]
+
+    while not all(frame_done(b) for b in range(bsz)):
+        # start a new frame where needed
+        for b in range(bsz):
+            if frame_done(b) or in_frame[b]:
+                continue
+            a_hyps[b] = beams[b]
+            new_beams[b] = []
+            expansions[b] = 0
+            in_frame[b] = True
+
+        # one expansion wave: pop each active sample's best hypothesis
+        active = [b for b in range(bsz) if in_frame[b] and not frame_done(b)]
+        bests = {}
+        for b in active:
+            best = max(a_hyps[b], key=Hyp.norm_score.fget)
+            a_hyps[b].remove(best)
+            bests[b] = best
+
+        toks = np.zeros((bsz,), np.int32)
+        f_rows = np.zeros((bsz,), np.int64)
+        for b in active:
+            toks[b] = bests[b].prediction[-1]
+            f_rows[b] = min(t_ptr[b], f.shape[1] - 1)
+        carry = _stack_carries(
+            [bests[b].hidden if b in bests else carry_slice(init_carry, 0)
+             for b in range(bsz)]
+        )
+        g, hidden = dec_step(jnp.asarray(toks), carry)
+        logits = joint_step(f[jnp.arange(bsz), jnp.asarray(f_rows)], g) / tmp
+        logp = np.asarray(jax.nn.log_softmax(logits, axis=-1))
+
+        for b in active:
+            best = bests[b]
+            expansions[b] += 1
+            hid_b = carry_slice(hidden, b)
+            new_beams[b].append(
+                Hyp(best.prediction[:], best.logp_score + float(logp[b, 0]),
+                    hidden=best.hidden, ngram_state=best.ngram_state)
+            )
+            topk = np.argsort(logp[b, 1:])[-beam_size:][::-1] + 1
+            for c in topk:
+                c = int(c)
+                hyp = Hyp(best.prediction[:] + [c],
+                          best.logp_score + float(logp[b, c]),
+                          hidden=hid_b, ngram_state=best.ngram_state)
+                if ngram is not None and ngram_alpha:
+                    sc, ns = ngram.score(best.ngram_state, c)
+                    hyp.logp_score += ngram_alpha * sc + ngram_beta
+                    hyp.ngram_state = ns
+                a_hyps[b].append(hyp)
+
+            if len(new_beams[b]) >= beam_size or expansions[b] >= 3 * beam_size:
+                beams[b] = new_beams[b]
+                t_ptr[b] += 1
+                in_frame[b] = False
+
+    return [max(bs, key=Hyp.norm_score.fget).prediction[1:] for bs in beams]
+
+
+def _take_batch(c, idx):
+    """Slice batch entry ``idx`` (keeping the axis) from a carry array whose
+    batch axis is the LSTM (layers, B, H) middle axis or axis 0 of KV caches."""
+    if c.ndim == 3:  # (layers, B, H)
+        return c[:, idx : idx + 1]
+    return c[idx : idx + 1]
+
+
+def _stack_carries(carries):
+    def cat(*xs):
+        axis = 1 if xs[0].ndim == 3 else 0
+        return jnp.concatenate(xs, axis=axis)
+
+    return jax.tree.map(cat, *carries)

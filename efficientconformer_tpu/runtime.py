@@ -80,10 +80,12 @@ def decode_batch(trainer: Trainer, state, batch, tokenizer,
     dp = trainer.config.decoding_params
     if config_is_transducer(trainer.config):
         if beam_size > 1:
-            from efficientconformer_tpu.decoding.rnnt_beam import beam_search
+            from efficientconformer_tpu.decoding.rnnt_beam import (
+                beam_search_batched,
+            )
             from efficientconformer_tpu.decoding.ngram import try_load
 
-            token_lists = beam_search(
+            token_lists = beam_search_batched(
                 trainer.model, variables,
                 jnp.asarray(batch["audio"]), jnp.asarray(batch["audio_len"]),
                 beam_size=beam_size,
