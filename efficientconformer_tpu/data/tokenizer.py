@@ -34,6 +34,21 @@ class BpeTokenizer:
             tuple(m): i for i, m in enumerate(merges)
         }
         self._encode_cache: Dict[str, List[int]] = {}
+        self._native = None
+        self._native_tried = False
+
+    def _native_encoder(self):
+        """Lazily build the C++ encoder (native/bpe_encode.cpp); None if the
+        native library is unavailable."""
+        if not self._native_tried:
+            self._native_tried = True
+            try:
+                from efficientconformer_tpu.data import tokenizer_native
+
+                self._native = tokenizer_native.NativeBpe(self.pieces, self.merges)
+            except Exception:
+                self._native = None
+        return self._native
 
     # ------------------------------------------------------------------ api
 
@@ -41,6 +56,9 @@ class BpeTokenizer:
         return len(self.pieces)
 
     def encode(self, text: str) -> List[int]:
+        native = self._native_encoder()
+        if native is not None:
+            return native.encode(text)
         ids: List[int] = []
         for word in text.split():
             key = WORD_BOUNDARY + word
