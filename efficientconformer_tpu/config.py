@@ -109,6 +109,22 @@ def resolve_block_configs(p: dict) -> list[BlockConfig]:
     return blocks
 
 
+def encoder_output_frames(p: dict, audio_samples: int) -> int:
+    """Number of encoder output frames for ``audio_samples`` raw samples,
+    applying the exact reference length formulas: frontend T//hop + 1
+    (modules.py:96-100), subsampling (l-1)//2 + 1 per layer ((l)//2 for VGG),
+    and (l-1)//stride + 1 after each strided block (encoders.py:132-140)."""
+    hop = p["sample_rate"] * p["hop_length_ms"] // 1000
+    frames = audio_samples // hop + 1
+    vgg = p.get("subsampling_module") == "VGG"
+    for _ in range(p.get("subsampling_layers", 1)):
+        frames = frames // 2 if vgg else (frames - 1) // 2 + 1
+    for b in resolve_block_configs(p):
+        if b.stride > 1:
+            frames = (frames - 1) // b.stride + 1
+    return frames
+
+
 # ---------------------------------------------------------------------------
 # Top-level config
 # ---------------------------------------------------------------------------

@@ -58,7 +58,11 @@ class LibriSpeechDataset:
         vocab_size: int = 256,
         audio_max_length: Optional[int] = None,
         label_max_length: Optional[int] = None,
+        lm_mode: bool = False,
     ):
+        # lm_mode: labels-only dataset for LM evaluation on transcripts
+        # (reference utils/datasets.py:33,42-43)
+        self.lm_mode = lm_mode
         paths = sorted(
             glob.glob(manifest_path(dataset_path, split + "*", vocab_type, vocab_size))
         )
@@ -84,8 +88,14 @@ class LibriSpeechDataset:
 
     def __getitem__(self, i: int):
         u = self.utterances[i]
+        if self.lm_mode:
+            return np.asarray(u.labels, np.int32)
         audio, _sr = load_audio(u.audio_path)
         return audio, np.asarray(u.labels, np.int32)
+
+    @property
+    def max_label_len(self) -> int:
+        return max((u.label_len for u in self.utterances), default=1)
 
 
 class LibriSpeechCorpusDataset:

@@ -142,16 +142,19 @@ class LmBatchLoader:
     0-padded; targets (B, U+1) = tokens shifted with a trailing 0, -1 padded."""
 
     def __init__(self, dataset, batch_size: int, max_len: int,
-                 *, accum_steps: int = 1, shuffle: bool = True, seed: int = 0):
+                 *, accum_steps: int = 1, shuffle: bool = True, seed: int = 0,
+                 drop_last: bool = True):
         self.dataset = dataset
         self.batch_size = batch_size
         self.max_len = max_len
         self.accum = accum_steps
         self.shuffle = shuffle
         self.seed = seed
+        self.drop_last = drop_last
 
     def __len__(self):
-        return len(self.dataset) // (self.batch_size * self.accum)
+        n, group = len(self.dataset), self.batch_size * self.accum
+        return n // group if self.drop_last else -(-n // group)
 
     def epoch(self, epoch: int = 0) -> Iterator[dict]:
         rng = random.Random(self.seed + epoch)
@@ -160,11 +163,14 @@ class LmBatchLoader:
             rng.shuffle(order)
         micro, accum = self.batch_size, self.accum
         group = micro * accum
-        for start in range(0, len(order) - group + 1, group):
+        end = len(order) - group + 1 if self.drop_last else len(order)
+        for start in range(0, max(end, 0), group):
             idxs = order[start : start + group]
             u = self.max_len
             tokens = np.zeros((group, u), np.int32)
             token_len = np.zeros((group,), np.int32)
+            # rows beyond len(idxs) stay all -1 targets: zero valid positions,
+            # so padded remainder rows contribute nothing to the CE loss
             targets = np.full((group, u + 1), -1, np.int32)
             for j, i in enumerate(idxs):
                 ids = self.dataset[i][:u]

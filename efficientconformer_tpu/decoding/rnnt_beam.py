@@ -156,6 +156,10 @@ def beam_search_batched(
     *,
     beam_size: int = 16,
     tmp: float = 1.0,
+    lm_model=None,
+    lm_variables=None,
+    lm_weight: float = 0.0,
+    lm_tmp: float = 1.0,
     ngram: Optional[ArpaLM] = None,
     ngram_alpha: float = 0.0,
     ngram_beta: float = 0.0,
@@ -167,9 +171,15 @@ def beam_search_batched(
     prediction-network/joint device call covering all still-active samples —
     ~B x fewer host-device round trips. Finished samples idle with dummy
     tokens until the wave drains.
+
+    Neural-LM shallow fusion (reference transducer.py:260-273): the LM step is
+    batched across the wave exactly like the prediction-network step. Requires
+    a fixed-shape LM carry (RNN LM); the caller routes growing-cache LMs
+    (Transformer) through the per-sample ``beam_search``.
     """
     f, f_len, _ = model.apply(variables, x, x_len, False, method=Transducer.encode)
     bsz = x.shape[0]
+    use_lm = lm_model is not None and lm_weight
 
     dec_step = jax.jit(
         lambda tok, carry: model.apply(
@@ -180,6 +190,15 @@ def beam_search_batched(
         lambda f_t, g: model.apply(variables, f_t, g, method=Transducer.joint_step)
     )
     init_carry = model.apply(variables, bsz, method=Transducer.decoder_init_carry)
+    if use_lm:
+        lm_step = jax.jit(
+            lambda tok, carry: lm_model.apply(
+                lm_variables, tok, carry, method=type(lm_model).step
+            )
+        )
+        lm_init_carry = lm_model.apply(
+            lm_variables, bsz, method=type(lm_model).init_carry
+        )
 
     def carry_slice(carry, idx):
         return jax.tree.map(lambda c: _take_batch(c, idx), carry)
@@ -187,6 +206,7 @@ def beam_search_batched(
     # per-sample state
     beams = [
         [Hyp([0], 0.0, hidden=carry_slice(init_carry, b),
+             hidden_lm=carry_slice(lm_init_carry, b) if use_lm else None,
              ngram_state=ngram.start_state() if ngram is not None else ())]
         for b in range(bsz)
     ]
@@ -230,22 +250,36 @@ def beam_search_batched(
         )
         g, hidden = dec_step(jnp.asarray(toks), carry)
         logits = joint_step(f[jnp.arange(bsz), jnp.asarray(f_rows)], g) / tmp
-        logp = np.asarray(jax.nn.log_softmax(logits, axis=-1))
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        if use_lm:
+            lm_carry = _stack_carries(
+                [bests[b].hidden_lm if b in bests else carry_slice(lm_init_carry, 0)
+                 for b in range(bsz)]
+            )
+            lm_logits, lm_hidden = lm_step(jnp.asarray(toks), lm_carry)
+            logp = logp + lm_weight * jax.nn.log_softmax(
+                lm_logits / lm_tmp, axis=-1
+            )
+        logp = np.asarray(logp)
 
         for b in active:
             best = bests[b]
             expansions[b] += 1
             hid_b = carry_slice(hidden, b)
+            lm_hid_b = carry_slice(lm_hidden, b) if use_lm else None
             new_beams[b].append(
                 Hyp(best.prediction[:], best.logp_score + float(logp[b, 0]),
-                    hidden=best.hidden, ngram_state=best.ngram_state)
+                    hidden=best.hidden, hidden_lm=best.hidden_lm,
+                    ngram_state=best.ngram_state)
             )
             topk = np.argsort(logp[b, 1:])[-beam_size:][::-1] + 1
             for c in topk:
                 c = int(c)
                 hyp = Hyp(best.prediction[:] + [c],
                           best.logp_score + float(logp[b, c]),
-                          hidden=hid_b, ngram_state=best.ngram_state)
+                          hidden=hid_b,
+                          hidden_lm=lm_hid_b if use_lm else best.hidden_lm,
+                          ngram_state=best.ngram_state)
                 if ngram is not None and ngram_alpha:
                     sc, ns = ngram.score(best.ngram_state, c)
                     hyp.logp_score += ngram_alpha * sc + ngram_beta

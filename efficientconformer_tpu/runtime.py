@@ -72,20 +72,48 @@ def example_microbatch(config: Config, batch_size: int = 2):
     }
 
 
+def greedy_token_cap(config: Config, audio_frames: int, max_consec: int) -> int:
+    """Upper bound on greedy-transducer emissions, derived from the *input*
+    length only (never from ground-truth labels): each encoder output frame can
+    emit at most max_consec tokens. Rounded up to a multiple of 32 to bound the
+    number of compiled decode programs."""
+    from efficientconformer_tpu.config import encoder_output_frames
+
+    f = encoder_output_frames(config.encoder_params, audio_frames)
+    cap = max(f * max_consec, 32)
+    return -(-cap // 32) * 32
+
+
 def decode_batch(trainer: Trainer, state, batch, tokenizer,
-                 max_consec: int = 5, beam_size: int = 1):
+                 max_consec: int = 5, beam_size: int = 1, lm=None):
     """Decode one eval microbatch -> list[str]. beam_size > 1 uses beam search
-    with the config's decoding_params (n-gram / LM fusion when files exist)."""
+    with the config's decoding_params (n-gram / LM fusion when files exist).
+    ``lm`` is an optional fusion bundle from ``load_lm_for_fusion``."""
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     dp = trainer.config.decoding_params
     if config_is_transducer(trainer.config):
         if beam_size > 1:
             from efficientconformer_tpu.decoding.rnnt_beam import (
+                beam_search,
                 beam_search_batched,
             )
             from efficientconformer_tpu.decoding.ngram import try_load
 
-            token_lists = beam_search_batched(
+            lm_kwargs = {}
+            if lm is not None:
+                lm_kwargs = dict(
+                    lm_model=lm["model"], lm_variables=lm["variables"],
+                    lm_weight=lm["weight"], lm_tmp=lm["tmp"],
+                )
+            # Transformer LMs carry growing KV caches that cannot be stacked
+            # across a wave of hypotheses; route them through the per-sample
+            # beam (identical semantics, more device calls).
+            fn = (
+                beam_search
+                if lm is not None and lm.get("arch") == "Transformer"
+                else beam_search_batched
+            )
+            token_lists = fn(
                 trainer.model, variables,
                 jnp.asarray(batch["audio"]), jnp.asarray(batch["audio_len"]),
                 beam_size=beam_size,
@@ -93,9 +121,12 @@ def decode_batch(trainer: Trainer, state, batch, tokenizer,
                 ngram=try_load(dp.get("ngram_path"), dp.get("ngram_offset", 100)),
                 ngram_alpha=dp.get("ngram_alpha", 0.0),
                 ngram_beta=dp.get("ngram_beta", 0.0),
+                **lm_kwargs,
             )
             return tokenizer.decode(token_lists)
-        max_tokens = max(int(batch["label_len"].max()) * 2 + 8, 32)
+        max_tokens = greedy_token_cap(
+            trainer.config, batch["audio"].shape[1], max_consec
+        )
         toks, n = rnnt_mod.greedy_decode(
             trainer.model, variables,
             jnp.asarray(batch["audio"]), jnp.asarray(batch["audio_len"]),
@@ -135,10 +166,54 @@ def config_is_transducer(config: Config) -> bool:
     return config.model_type == "Transducer"
 
 
+def load_lm_for_fusion(config: Config, lm_epoch: str):
+    """Load the shallow-fusion LM named by decoding_params["lm_config"] at
+    checkpoint epoch ``lm_epoch`` (reference main.py:69-79). Returns a bundle
+    {model, variables, weight, tmp, arch} for decode_batch."""
+    dp = config.decoding_params
+    lm_config = load_config(dp["lm_config"])
+    lm_trainer = Trainer(lm_config)
+    lm_state = lm_trainer.init_state(example_microbatch(lm_config))
+    lm_cb = lm_config.training_params.get("callback_path", "callbacks/")
+    lm_state = checkpoint.load(
+        os.path.join(lm_cb, f"checkpoints_{lm_epoch}.ckpt"), lm_state
+    )
+    return {
+        "model": lm_trainer.model,
+        "variables": {"params": lm_state.params,
+                      "batch_stats": lm_state.batch_stats},
+        "weight": dp.get("lm_weight", 0.0),
+        "tmp": dp.get("lm_tmp", 1.0),
+        "arch": lm_config.lm_params.get("arch", "RNN"),
+    }
+
+
+def evaluate_lm(trainer: Trainer, state, dataset, *,
+                batch_size: int = 8, eval_steps: Optional[int] = None):
+    """LM evaluation on labels-only LibriSpeech transcripts -> mean CE loss
+    (reference §3.4: lm_mode datasets + eval_loss, model.py:438-442)."""
+    from efficientconformer_tpu.data.loader import LmBatchLoader
+
+    loader = LmBatchLoader(
+        dataset, batch_size, max_len=dataset.max_label_len,
+        shuffle=False, drop_last=False,
+    )
+    loss_fn = trainer.eval_loss_fn()
+    total, n = 0.0, 0
+    for i, batch in enumerate(loader.epoch(0)):
+        mb = {k: jnp.asarray(v.reshape((-1,) + v.shape[2:]))
+              for k, v in batch.items()}
+        total += float(loss_fn(state, mb))
+        n += 1
+        if eval_steps and i + 1 >= eval_steps:
+            break
+    return total / n if n else float("nan")
+
+
 def evaluate(trainer: Trainer, state, dataset, tokenizer, *,
              batch_size: int = 8, eval_steps: Optional[int] = None,
              verbose: bool = False, max_consec: int = 5, beam_size: int = 1,
-             eval_loss: bool = False):
+             eval_loss: bool = False, lm=None):
     """Evaluation -> (wer, truths, preds, mean_loss). Reference model.py:386-490."""
     loader = AsrBatchLoader(dataset, batch_size, shuffle=False, drop_last=False)
     truths, preds = [], []
@@ -147,7 +222,7 @@ def evaluate(trainer: Trainer, state, dataset, tokenizer, *,
     for i, batch in enumerate(loader.epoch(0)):
         mb = {k: v.reshape((-1,) + v.shape[2:]) for k, v in batch.items()}
         batch_preds = decode_batch(trainer, state, mb, tokenizer, max_consec,
-                                   beam_size)
+                                   beam_size, lm=lm)
         batch_truths = tokenizer.decode(
             [mb["labels"][b, : mb["label_len"][b]].tolist()
              for b in range(len(batch_preds))]
@@ -213,6 +288,11 @@ def run(args):
             state,
         )
 
+    # Shallow-fusion LM (reference main.py:69-79)
+    lm = None
+    if args.initial_epoch_lm:
+        lm = load_lm_for_fusion(config, args.initial_epoch_lm)
+
     mode_base = args.mode.split("-")[0]
     tp = config.training_params
 
@@ -224,6 +304,7 @@ def run(args):
             vocab_size=config.vocab_size,
             audio_max_length=tp.get("eval_audio_max_length"),
             label_max_length=tp.get("eval_label_max_length"),
+            lm_mode=bool(tp.get("lm_mode")),
         )
 
     if args.swa:
@@ -298,7 +379,20 @@ def run(args):
                 return it
 
         val_fn = None
-        if tokenizer is not None and config.model_type != "LM":
+        if config.model_type == "LM":
+            try:
+                val_ds = make_eval_dataset()  # lm_mode labels-only transcripts
+
+                def val_fn(st):
+                    vloss = evaluate_lm(
+                        trainer, st, val_ds,
+                        batch_size=args.batch_size_eval,
+                        eval_steps=args.val_steps,
+                    )
+                    return {"MeanLoss": vloss}
+            except FileNotFoundError:
+                pass
+        elif tokenizer is not None:
             try:
                 val_ds = make_eval_dataset()
 
@@ -331,6 +425,18 @@ def run(args):
 
     if mode_base in ("validation", "test"):
         ds = make_eval_dataset()
+        if config.model_type == "LM":
+            # LM evaluation on transcripts: eval loss + perplexity
+            # (reference lm_mode datasets + --eval_loss, model.py:438-442)
+            import math
+
+            loss = evaluate_lm(
+                trainer, state, ds,
+                batch_size=args.batch_size_eval, eval_steps=args.val_steps,
+            )
+            print("Eval Loss : {:.4f} | Perplexity : {:.2f}".format(
+                loss, math.exp(min(loss, 30.0))))
+            return 0
         beam = 1 if args.gready else config.decoding_params.get("beam_size", 1)
         w, truths, preds, _ = evaluate(
             trainer, state, ds, tokenizer,
@@ -339,6 +445,7 @@ def run(args):
             max_consec=args.rnnt_max_consec_dec_steps or 5,
             beam_size=beam,
             eval_loss=args.eval_loss,
+            lm=lm,
         )
         kind = "Greedy" if beam <= 1 else "Beam"
         print("{} Search WER : {:.2f}%".format(kind, 100 * w))

@@ -14,6 +14,28 @@ def test_batched_beam_matches_per_sample():
     assert got == want
 
 
+def test_batched_beam_with_neural_lm_fusion():
+    """Shallow fusion: batched ≡ per-sample, and fusion actually changes the
+    search (reference transducer.py:260-273 semantics)."""
+    import jax
+    import jax.numpy as jnp
+    from efficientconformer_tpu.models.lm import LanguageModel
+
+    model, variables, x, x_len, y, y_len = build_tiny_transducer()
+    lm = LanguageModel(
+        lm_params={"arch": "RNN", "num_layers": 1, "dim_model": 12,
+                   "vocab_size": 9},
+        vocab_size=9,
+    )
+    lm_vars = lm.init(
+        jax.random.PRNGKey(7), jnp.zeros((1, 4), jnp.int32), None, False
+    )
+    kw = dict(lm_model=lm, lm_variables=lm_vars, lm_weight=0.6, lm_tmp=1.0)
+    want = beam_search(model, variables, x, x_len, beam_size=3, **kw)
+    got = beam_search_batched(model, variables, x, x_len, beam_size=3, **kw)
+    assert got == want
+
+
 def test_batched_beam_with_ngram(tmp_path):
     model, variables, x, x_len, y, y_len = build_tiny_transducer()
     p = tmp_path / "lm.arpa"

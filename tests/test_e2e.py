@@ -228,8 +228,79 @@ def test_lm_training_smoke(tmp_path):
     cfg_path = os.path.join(str(tmp_path), "lm.json")
     with open(cfg_path, "w") as f:
         json.dump(cfg, f)
+
+    # labels-only dev manifest so LM validation/evaluation can score
+    # transcripts (reference lm_mode, utils/datasets.py:33,42-43)
+    with open(os.path.join(str(tmp_path), "manifest_dev-clean_bpe_48.jsonl"), "w") as f:
+        for s in SENTENCES[:4]:
+            ids = tok.encode(s)
+            f.write(json.dumps(
+                {"audio": "none.wav", "audio_len": 16000, "labels": ids}) + "\n")
+
     run_cli(cfg_path, "training", steps_per_epoch=2)
     assert os.path.exists(os.path.join(str(tmp_path), "lm_cb", "checkpoints_1.ckpt"))
+
+    # LM evaluation: eval loss + perplexity on the transcript manifest
+    run_cli(cfg_path, "validation-clean", initial_epoch="1", eval_loss=True,
+            batch_size_eval=2)
+
+
+@pytest.mark.slow
+def test_transducer_lm_fusion_cli(tmp_path):
+    """Neural-LM shallow fusion end-to-end through the CLI: train a tiny
+    transducer and a tiny LM, then beam-decode with --initial_epoch_lm
+    (reference main.py:69-79 + transducer.py:260-273)."""
+    root = os.path.join(str(tmp_path), "LibriSpeech")
+    make_dataset(root)
+    cfg_path = make_config(root, tmp_path)
+    cfg = json.load(open(cfg_path))
+    cfg["model_type"] = "Transducer"
+    cfg["decoder_params"] = {"arch": "RNN", "num_layers": 1, "dim_model": 16,
+                             "vocab_size": 48}
+    cfg["joint_params"] = {"joint_mode": "sum", "dim_model": 16, "act": "tanh"}
+    cfg["training_params"]["epochs"] = 1
+
+    # LM config sharing the transducer's tokenizer
+    corpus = os.path.join(str(tmp_path), "corpus.txt")
+    with open(corpus, "w") as f:
+        for s in SENTENCES * 2:
+            f.write(s + "\n")
+    lm_cfg = {
+        "model_name": "Tiny fusion LM", "model_type": "LM",
+        "lm_params": {"arch": "RNN", "num_layers": 1, "vocab_size": 48,
+                      "dim_model": 16},
+        "tokenizer_params": dict(cfg["tokenizer_params"]),
+        "training_params": {
+            "epochs": 1, "batch_size": 4, "accumulated_steps": 1,
+            "mixed_precision": False, "optimizer": "Adam", "beta1": 0.9,
+            "beta2": 0.98, "eps": 1e-9, "weight_decay": 0.0,
+            "lr_schedule": "Constant", "lr_value": 1e-3,
+            "train_label_max_length": 24,
+            "eval_audio_max_length": None, "eval_label_max_length": None,
+            "training_dataset": "LibriSpeechCorpus",
+            "training_dataset_path": corpus,
+            "evaluation_dataset": "LibriSpeech",
+            "evaluation_dataset_path": str(tmp_path), "lm_mode": True,
+            "callback_path": os.path.join(str(tmp_path), "fusion_lm_cb") + "/",
+        },
+        "decoding_params": {"beam_size": 4, "tmp": 1},
+    }
+    lm_cfg_path = os.path.join(str(tmp_path), "fusion_lm.json")
+    with open(lm_cfg_path, "w") as f:
+        json.dump(lm_cfg, f)
+    cfg["decoding_params"].update(
+        {"lm_config": lm_cfg_path, "lm_weight": 0.5, "lm_tmp": 1.0}
+    )
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+
+    run_cli(cfg_path, "training", create_tokenizer=True, prepare_dataset=True,
+            steps_per_epoch=2, val_steps=1, batch_size_eval=2)
+    run_cli(lm_cfg_path, "training", steps_per_epoch=2)
+
+    # beam decode with fusion through the CLI flag surface
+    run_cli(cfg_path, "test-clean", initial_epoch="1", initial_epoch_lm="1",
+            batch_size_eval=2, val_steps=1)
 
 
 @pytest.mark.slow

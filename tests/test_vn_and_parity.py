@@ -1,7 +1,7 @@
 """Variational-noise semantics + transducer decoder/joint parameter parity."""
 
-import sys
-import types
+
+
 
 import numpy as np
 import jax
@@ -41,18 +41,12 @@ def test_transducer_decoder_joint_param_parity():
     """Parameter counts of the RNN prediction network and joint network match
     the reference modules (importable subset: models/decoders.py,
     models/joint_networks.py) for the Transducer Medium shapes."""
-    # stub torchaudio so the reference package imports on this image
-    ta = types.ModuleType("torchaudio")
-    tr = types.ModuleType("torchaudio.transforms")
-    for name in ["Spectrogram", "MelScale", "FrequencyMasking", "TimeMasking"]:
-        setattr(tr, name, type(name, (), {"__init__": lambda self, *a, **k: None}))
-    ta.transforms = tr
-    sys.modules.setdefault("torchaudio", ta)
-    sys.modules.setdefault("torchaudio.transforms", tr)
-    sys.path.insert(0, "/root/reference")
     try:
-        from models.decoders import RnnDecoder as RefRnnDecoder
-        from models.joint_networks import JointNetwork as RefJoint
+        from torch_ref import import_reference
+
+        ref = import_reference()
+        RefRnnDecoder = ref.decoders.RnnDecoder
+        RefJoint = ref.joint_networks.JointNetwork
     except ImportError:
         pytest.skip("reference not importable")
 
