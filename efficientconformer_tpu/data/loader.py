@@ -50,6 +50,7 @@ class AsrBatchLoader:
         seed: int = 0,
         drop_last: bool = True,
         prefetch: int = 2,
+        num_workers: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -58,9 +59,22 @@ class AsrBatchLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        # decode pool (reference DataLoader num_workers, SURVEY §3.1): audio
+        # decoding is the CPU-bound part; the native FLAC decoder releases
+        # the GIL inside ctypes, so threads give real parallelism.
+        self.num_workers = num_workers
+        self._pool = None
+        if num_workers and num_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=num_workers)
 
         lens = [(u.audio_len, u.label_len) for u in dataset.utterances]
         max_audio = max(l[0] for l in lens)
+        # Tiny datasets: fewer buckets than dataset/group would strand every
+        # utterance in a partial bucket and (with drop_last) yield ZERO batches.
+        group = batch_size * accum_steps
+        n_audio_buckets = max(1, min(n_audio_buckets, len(lens) // group or 1))
         self.audio_edges = make_buckets(max_audio, n_audio_buckets)
         # per audio bucket, the max label length defines the label pad
         self.label_pad = {}
@@ -100,8 +114,11 @@ class AsrBatchLoader:
         labels = np.zeros((n, label_pad), np.int32)
         audio_len = np.zeros((n,), np.int32)
         label_len = np.zeros((n,), np.int32)
-        for j, i in enumerate(idxs):
-            a, l = self.dataset[i]
+        if self._pool is not None:
+            samples = list(self._pool.map(self.dataset.__getitem__, idxs))
+        else:
+            samples = [self.dataset[i] for i in idxs]
+        for j, (a, l) in enumerate(samples):
             audio[j, : len(a)] = a
             labels[j, : len(l)] = l
             audio_len[j] = len(a)

@@ -93,10 +93,6 @@ def decode_batch(trainer: Trainer, state, batch, tokenizer,
     dp = trainer.config.decoding_params
     if config_is_transducer(trainer.config):
         if beam_size > 1:
-            from efficientconformer_tpu.decoding.rnnt_beam import (
-                beam_search,
-                beam_search_batched,
-            )
             from efficientconformer_tpu.decoding.ngram import try_load
 
             lm_kwargs = {}
@@ -105,9 +101,35 @@ def decode_batch(trainer: Trainer, state, batch, tokenizer,
                     lm_model=lm["model"], lm_variables=lm["variables"],
                     lm_weight=lm["weight"], lm_tmp=lm["tmp"],
                 )
-            # Transformer LMs carry growing KV caches that cannot be stacked
-            # across a wave of hypotheses; route them through the per-sample
-            # beam (identical semantics, more device calls).
+            ngram = try_load(dp.get("ngram_path"), dp.get("ngram_offset", 100))
+            use_ngram = ngram is not None and dp.get("ngram_alpha", 0.0)
+            lm_fixed_carry = lm is None or lm.get("arch") == "RNN"
+            if not use_ngram and lm_fixed_carry:
+                # Default path: one jit program, zero host round trips.
+                from efficientconformer_tpu.decoding.rnnt_beam_device import (
+                    beam_search_device,
+                )
+
+                token_lists = beam_search_device(
+                    trainer.model, variables,
+                    jnp.asarray(batch["audio"]),
+                    jnp.asarray(batch["audio_len"]),
+                    beam_size=beam_size,
+                    tmp=dp.get("tmp", 1.0),
+                    max_tokens=greedy_token_cap(
+                        trainer.config, batch["audio"].shape[1], max_consec
+                    ),
+                    **lm_kwargs,
+                )
+                return tokenizer.decode(token_lists)
+
+            # Host-orchestrated paths: n-gram fusion (ARPA state machine on
+            # host) and growing-KV-cache (Transformer) LMs.
+            from efficientconformer_tpu.decoding.rnnt_beam import (
+                beam_search,
+                beam_search_batched,
+            )
+
             fn = (
                 beam_search
                 if lm is not None and lm.get("arch") == "Transformer"
@@ -118,7 +140,7 @@ def decode_batch(trainer: Trainer, state, batch, tokenizer,
                 jnp.asarray(batch["audio"]), jnp.asarray(batch["audio_len"]),
                 beam_size=beam_size,
                 tmp=dp.get("tmp", 1.0),
-                ngram=try_load(dp.get("ngram_path"), dp.get("ngram_offset", 100)),
+                ngram=ngram,
                 ngram_alpha=dp.get("ngram_alpha", 0.0),
                 ngram_beta=dp.get("ngram_beta", 0.0),
                 **lm_kwargs,
@@ -213,9 +235,10 @@ def evaluate_lm(trainer: Trainer, state, dataset, *,
 def evaluate(trainer: Trainer, state, dataset, tokenizer, *,
              batch_size: int = 8, eval_steps: Optional[int] = None,
              verbose: bool = False, max_consec: int = 5, beam_size: int = 1,
-             eval_loss: bool = False, lm=None):
+             eval_loss: bool = False, lm=None, num_workers: int = 0):
     """Evaluation -> (wer, truths, preds, mean_loss). Reference model.py:386-490."""
-    loader = AsrBatchLoader(dataset, batch_size, shuffle=False, drop_last=False)
+    loader = AsrBatchLoader(dataset, batch_size, shuffle=False, drop_last=False,
+                            num_workers=num_workers)
     truths, preds = [], []
     total_loss, n_loss = 0.0, 0
     loss_fn = trainer.eval_loss_fn() if eval_loss else None
@@ -361,7 +384,9 @@ def run(args):
                 label_max_length=tp.get("train_label_max_length"),
             )
             loader = AsrBatchLoader(
-                train_ds, tp["batch_size"], accum_steps=tp.get("accumulated_steps", 1)
+                train_ds, tp["batch_size"],
+                accum_steps=tp.get("accumulated_steps", 1),
+                num_workers=args.num_workers,
             )
         writer = None
         try:
@@ -397,7 +422,7 @@ def run(args):
                 val_ds = make_eval_dataset()
 
                 def val_fn(st):
-                    w, _, _, vloss = evaluate(
+                    w, truths, preds, vloss = evaluate(
                         trainer, st, val_ds, tokenizer,
                         batch_size=args.batch_size_eval,
                         eval_steps=args.val_steps,
@@ -406,6 +431,12 @@ def run(args):
                     out = {"WER": 100.0 * w}
                     if vloss is not None:
                         out["MeanLoss"] = vloss
+                    if truths and preds:
+                        # example prediction to TB (reference model.py:326-328)
+                        out["_text"] = (
+                            "GroundTruth : " + truths[0]
+                            + " / Prediction : " + preds[0]
+                        )
                     return out
             except FileNotFoundError:
                 pass
@@ -446,6 +477,7 @@ def run(args):
             beam_size=beam,
             eval_loss=args.eval_loss,
             lm=lm,
+            num_workers=args.num_workers,
         )
         kind = "Greedy" if beam <= 1 else "Beam"
         print("{} Search WER : {:.2f}%".format(kind, 100 * w))
@@ -504,21 +536,41 @@ def run(args):
     raise ValueError(f"unknown mode {args.mode}")
 
 
-def bn_refresh(trainer: Trainer, state, dataset, steps: int = 100):
-    """Recompute batch statistics with a forward pass over training data
-    (reference model.py:534-557)."""
+def bn_refresh(trainer: Trainer, state, dataset, steps: int = 100,
+               momentum: float = 0.9):
+    """Re-estimate batch statistics over training data with CUMULATIVE
+    averaging, matching torch.optim.swa_utils.update_bn semantics
+    (reference model.py:534-557: momentum=None resets the stats and averages
+    every batch equally). Our BN layers apply a fixed momentum, so the
+    per-batch statistics are recovered from the mutated running stats:
+    batch = (new - m*old) / (1-m)."""
     from efficientconformer_tpu.models import factory
 
     loader = AsrBatchLoader(dataset, 8, shuffle=True)
+    base_stats = state.batch_stats
+    acc = None
+    n = 0
     for i, batch in enumerate(loader.epoch(0)):
         mb = {k: jnp.asarray(v.reshape((-1,) + v.shape[2:])) for k, v in batch.items()}
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        variables = {"params": state.params, "batch_stats": base_stats}
         _, mutated = factory.apply_model(
             trainer.model, variables, mb, True,
             rngs={"dropout": jax.random.PRNGKey(0),
                   "augment": jax.random.PRNGKey(1)},
         )
-        state = state.replace(batch_stats=mutated["batch_stats"])
+        batch_stats = jax.tree.map(
+            lambda new, old: (new - momentum * old) / (1.0 - momentum),
+            mutated["batch_stats"], base_stats,
+        )
+        if acc is None:
+            acc = batch_stats
+        else:
+            acc = jax.tree.map(
+                lambda a, bs: a + (bs - a) / (n + 1), acc, batch_stats
+            )
+        n += 1
         if i + 1 >= steps:
             break
+    if acc is not None:
+        state = state.replace(batch_stats=acc)
     return state

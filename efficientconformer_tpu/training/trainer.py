@@ -187,51 +187,101 @@ class Trainer:
         step_fns: dict = {}
         rng = jax.random.PRNGKey(self.seed + 1)
         py_step = int(state.step)  # host-side mirror; avoids per-step syncs
-        for epoch in range(initial_epoch, epochs):
-            t0 = time.time()
-            losses = []
-            for i, batch in enumerate(train_batches):
-                use_vn = (
-                    self.vn_start_step is not None and py_step >= self.vn_start_step
-                )
-                freeze = (
-                    self.encoder_frozen_steps is not None
-                    and py_step <= self.encoder_frozen_steps
-                )
-                key = (use_vn, freeze)
-                if key not in step_fns:
-                    step_fns[key] = self.train_step_fn(use_vn, freeze)
-                step_fn = step_fns[key]
-                batch = mesh_lib.shard_batch(self.mesh, batch, batch_axis=1)
-                state, metrics = step_fn(state, batch, rng)
-                py_step += 1
-                losses.append(metrics["loss"])
-                if log_writer is not None and (i + 1) % 10 == 0:
-                    log_writer.add_scalar(
-                        "Training/Loss", float(metrics["loss"]), py_step
-                    )
-                    log_writer.add_scalar(
-                        "Training/LearningRate", float(lr_fn(py_step - 1)), py_step
-                    )
-                if steps_per_epoch and i + 1 >= steps_per_epoch:
-                    break
-            mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
-            if verbose:
-                print(
-                    f"epoch {epoch + 1}/{epochs} loss {mean_loss:.4f} "
-                    f"({time.time() - t0:.1f}s)"
-                )
-            if log_writer is not None:
-                log_writer.add_scalar("Training/MeanLoss", mean_loss, epoch + 1)
-            if val_fn is not None and (epoch + 1) % val_period == 0:
-                metrics = val_fn(state)
+        try:
+            for epoch in range(initial_epoch, epochs):
+                t0 = time.time()
+                losses = []
+                it = train_batches
+                bar = None
                 if verbose:
-                    print("  val:", {k: round(float(v), 4) for k, v in metrics.items()})
+                    try:
+                        from tqdm import tqdm
+
+                        print(f"Epoch {epoch + 1}/{epochs}")
+                        bar = tqdm(train_batches, total=steps_per_epoch)
+                        it = bar
+                    except ImportError:
+                        pass
+                for i, batch in enumerate(it):
+                    use_vn = (
+                        self.vn_start_step is not None
+                        and py_step >= self.vn_start_step
+                    )
+                    freeze = (
+                        self.encoder_frozen_steps is not None
+                        and py_step <= self.encoder_frozen_steps
+                    )
+                    key = (use_vn, freeze)
+                    if key not in step_fns:
+                        step_fns[key] = self.train_step_fn(use_vn, freeze)
+                    step_fn = step_fns[key]
+                    batch = mesh_lib.shard_batch(self.mesh, batch, batch_axis=1)
+                    state, metrics = step_fn(state, batch, rng)
+                    py_step += 1
+                    losses.append(metrics["loss"])
+                    if bar is not None:
+                        # live stats every few steps (reference model.py:269);
+                        # float() syncs, so do not pay it every step
+                        if (i + 1) % 10 == 0 or i == 0:
+                            loss_mini = float(metrics["loss"])
+                            mean = float(jnp.mean(jnp.stack(losses)))
+                            bar.set_description(
+                                "model step: {} - mean loss {:.4f} - batch "
+                                "loss: {:.4f} - learning rate: {:.6f}".format(
+                                    py_step, mean, loss_mini,
+                                    float(lr_fn(py_step - 1)),
+                                )
+                            )
+                    if log_writer is not None and (i + 1) % 10 == 0:
+                        log_writer.add_scalar(
+                            "Training/Loss", float(metrics["loss"]), py_step
+                        )
+                        log_writer.add_scalar(
+                            "Training/LearningRate", float(lr_fn(py_step - 1)),
+                            py_step,
+                        )
+                    if steps_per_epoch and i + 1 >= steps_per_epoch:
+                        break
+                if bar is not None:
+                    bar.close()
+                mean_loss = (
+                    float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+                )
+                if verbose:
+                    print(
+                        f"epoch {epoch + 1}/{epochs} loss {mean_loss:.4f} "
+                        f"({time.time() - t0:.1f}s)"
+                    )
                 if log_writer is not None:
-                    for k, v in metrics.items():
-                        log_writer.add_scalar(f"Validation/{k}", float(v), epoch + 1)
-            if callback_path and (epoch + 1) % saving_period == 0:
-                self.save(state, os.path.join(callback_path, f"checkpoints_{epoch + 1}.ckpt"))
+                    log_writer.add_scalar("Training/MeanLoss", mean_loss, epoch + 1)
+                if val_fn is not None and (epoch + 1) % val_period == 0:
+                    metrics = val_fn(state)
+                    # "_text" carries the example-prediction string
+                    # (reference model.py:326-328 add_text)
+                    text = metrics.pop("_text", None)
+                    if verbose:
+                        print("  val:", {k: round(float(v), 4)
+                                         for k, v in metrics.items()})
+                    if log_writer is not None:
+                        for k, v in metrics.items():
+                            log_writer.add_scalar(
+                                f"Validation/{k}", float(v), epoch + 1
+                            )
+                        if text:
+                            log_writer.add_text(
+                                "Validation/Predictions", text, epoch + 1
+                            )
+                if callback_path and (epoch + 1) % saving_period == 0:
+                    self.save(
+                        state,
+                        os.path.join(callback_path, f"checkpoints_{epoch + 1}.ckpt"),
+                    )
+        except Exception as e:
+            # exception text to TensorBoard before re-raising
+            # (reference model.py:336-344)
+            if log_writer is not None:
+                log_writer.add_text("Exceptions", str(e))
+            raise
         return state
 
     # ------------------------------------------------------------ checkpoints

@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Transducer beam-search wall-clock: on-device vs host-orchestrated.
+
+Runs EfficientConformerTransducerMedium (random weights) on the real chip,
+B utterances x SECONDS s, beam width W. Timing fetches results to host
+(the tunnel's block_until_ready does not synchronise — NOTES_ROUND1.md).
+
+Usage: python scripts/beam_bench.py [--batch 16] [--beam 16] [--seconds 10]
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--beam", type=int, default=16)
+    p.add_argument("--seconds", type=float, default=10.0)
+    p.add_argument("--config", default="configs/EfficientConformerTransducerMedium.json")
+    p.add_argument("--skip-host", action="store_true")
+    args = p.parse_args()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from efficientconformer_tpu.config import load_config
+    from efficientconformer_tpu.models import factory
+    from efficientconformer_tpu.decoding.rnnt_beam import beam_search_batched
+    from efficientconformer_tpu.decoding.rnnt_beam_device import beam_search_device
+
+    config = load_config(args.config)
+    config.encoder_params.pop("compute_dtype", None)
+    model, _ = factory.create_model(config)
+
+    t = int(16000 * args.seconds)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((args.batch, t)).astype(np.float32) * 0.1)
+    x_len = jnp.full((args.batch,), t, jnp.int32)
+
+    init_rng = {"params": jax.random.PRNGKey(0),
+                "dropout": jax.random.PRNGKey(1),
+                "augment": jax.random.PRNGKey(2)}
+    y = jnp.zeros((args.batch, 8), jnp.int32)
+    y_len = jnp.full((args.batch,), 8, jnp.int32)
+    variables = model.init(init_rng, x[:, :16000], y, x_len // args.seconds, y_len, False)
+    print(f"model ready; B={args.batch} W={args.beam} audio={args.seconds}s",
+          flush=True)
+
+    def run_device():
+        return beam_search_device(
+            model, variables, x, x_len, beam_size=args.beam, max_tokens=256
+        )
+
+    # compile
+    t0 = time.time()
+    out = run_device()
+    print(f"device beam compile+run: {time.time()-t0:.1f}s", flush=True)
+    t0 = time.time()
+    out = run_device()
+    dt_dev = time.time() - t0
+    rtf_dev = args.batch * args.seconds / dt_dev
+    print(f"device beam: {dt_dev:.3f}s for {args.batch}x{args.seconds}s "
+          f"({rtf_dev:.0f}x RT), lens={[len(s) for s in out[:4]]}", flush=True)
+
+    if not args.skip_host:
+        t0 = time.time()
+        out_h = beam_search_batched(
+            model, variables, x, x_len, beam_size=args.beam
+        )
+        dt_host = time.time() - t0
+        # second run (jits cached)
+        t0 = time.time()
+        out_h = beam_search_batched(
+            model, variables, x, x_len, beam_size=args.beam
+        )
+        dt_host = time.time() - t0
+        rtf_host = args.batch * args.seconds / dt_host
+        print(f"host beam: {dt_host:.3f}s ({rtf_host:.0f}x RT), "
+              f"lens={[len(s) for s in out_h[:4]]}", flush=True)
+        print(f"speedup: {dt_host/dt_dev:.1f}x", flush=True)
+
+
+if __name__ == "__main__":
+    main()
