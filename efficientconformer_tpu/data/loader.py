@@ -51,6 +51,8 @@ class AsrBatchLoader:
         drop_last: bool = True,
         prefetch: int = 2,
         num_workers: int = 0,
+        shard_id: int = 0,
+        num_shards: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -59,6 +61,14 @@ class AsrBatchLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        # Multi-host sharding (reference DistributedSampler semantics,
+        # functions.py:168,196,216): every process computes the SAME batch
+        # composition (same seed) and materialises only its slice of each
+        # microbatch; parallel/mesh.shard_batch reassembles the global array
+        # from process-local data.
+        assert batch_size % num_shards == 0, (batch_size, num_shards)
+        self.shard_id = shard_id
+        self.num_shards = num_shards
         # decode pool (reference DataLoader num_workers, SURVEY §3.1): audio
         # decoding is the CPU-bound part; the native FLAC decoder releases
         # the GIL inside ctypes, so threads give real parallelism.
@@ -109,6 +119,21 @@ class AsrBatchLoader:
     def _materialise(self, bucket: int, idxs: List[int]):
         audio_pad = self.audio_edges[bucket]
         label_pad = self.label_pad[bucket]
+        micro = self.batch_size
+        # partial tail group (drop_last=False): pad by repeating the last
+        # index up to a full microbatch; "n_valid" lets eval trim the dupes
+        n_valid = len(idxs)
+        a_steps = max(1, -(-len(idxs) // micro))
+        idxs = list(idxs) + [idxs[-1]] * (a_steps * micro - len(idxs))
+        if self.num_shards > 1:
+            b_local = micro // self.num_shards
+            sel = []
+            for a in range(a_steps):
+                base = a * micro + self.shard_id * b_local
+                sel += idxs[base : base + b_local]
+            idxs = sel
+            micro = b_local
+
         n = len(idxs)
         audio = np.zeros((n, audio_pad), np.float32)
         labels = np.zeros((n, label_pad), np.int32)
@@ -123,15 +148,17 @@ class AsrBatchLoader:
             labels[j, : len(l)] = l
             audio_len[j] = len(a)
             label_len[j] = len(l)
-        micro = self.batch_size
-        a_steps = len(idxs) // micro
         def stack(x):
-            return x[: a_steps * micro].reshape((a_steps, micro) + x.shape[1:])
+            return x.reshape((a_steps, micro) + x.shape[1:])
         return {
             "audio": stack(audio),
             "labels": stack(labels),
             "audio_len": stack(audio_len),
             "label_len": stack(label_len),
+            "n_valid": np.full((a_steps,), 0, np.int32) + np.asarray(
+                [max(0, min(n_valid - a * self.batch_size, self.batch_size))
+                 for a in range(a_steps)], np.int32
+            ),
         }
 
     def epoch(self, epoch: int = 0) -> Iterator[dict]:

@@ -89,14 +89,14 @@ def fused_bias_attention(
 
 
 def _dispatch_forward(q, k, v, bias, scale):
-    """Single-block kernel when (Nq, Nk) fits VMEM. Beyond that, XLA's own
-    attention tiling currently beats the key-tiled flash kernel below
-    (measured ~5x at N=2048 on v5e), so large shapes take the jnp path;
-    _flash_forward stays available (and tested) for future tuning."""
+    """Single-block kernel when (Nq, Nk) fits VMEM; the key-tiled flash
+    kernel beyond that (measured 1.5-1.6x vs XLA's jnp attention at
+    B=8 H=8 N=2048 d=64 on v5e with TQ=256/TK=2048 — scripts/flash_sweep.py,
+    NOTES_ROUND2.md)."""
     d = max(q.shape[3], v.shape[3])
     if fits_vmem(q.shape[2], k.shape[2], d):
         return _fused_forward(q, k, v, bias, scale)
-    return reference_bias_attention(q, k, v, bias, scale)
+    return _flash_forward(q, k, v, bias, scale)
 
 
 def _fused_fwd(q, k, v, bias, scale):
@@ -219,7 +219,7 @@ def _fused_forward(
 
 
 FLASH_TQ = 256
-FLASH_TK = 512
+FLASH_TK = 2048
 
 
 def _flash_kernel(

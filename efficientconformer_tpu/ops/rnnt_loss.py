@@ -102,9 +102,14 @@ def rnnt_loss(
     emit_lp = (
         jnp.take_along_axis(logits, lab[:, None, :, None], axis=3)[..., 0] - lse
     )
-    if jax.default_backend() not in ("cpu",):
-        # single-kernel Pallas wavefront (alpha fwd + beta/grad bwd); the scan
-        # below is the executable specification and CPU fallback
+    import os
+
+    if os.environ.get("ECF_PALLAS_RNNT") == "1" and jax.default_backend() not in ("cpu",):
+        # Pallas wavefront kernels (alpha fwd + beta/grad bwd), kept behind a
+        # flag: measured on v5e they are perf-NEUTRAL to slightly slower than
+        # the scan below (fwd 1.0-1.1x, grad 0.83-1.0x at B=16-64, T=126-201,
+        # U=90-140 — scripts/rnnt_profile.py; both are dominated by fixed
+        # per-diagonal costs), so the simpler XLA scan is the default.
         from efficientconformer_tpu.ops.pallas_rnnt import (
             rnnt_loss_from_gathered_pallas,
         )

@@ -38,20 +38,59 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def globalize(mesh: Mesh, tree):
+    """Turn process-local (host) arrays into fully-replicated global arrays.
+
+    Under multi-controller JAX, a jit program over a global mesh requires
+    global Arrays; model/optimizer state built identically on every process
+    (deterministic PRNG init) is replicated without any transfer."""
+    if jax.process_count() == 1:
+        return tree
+    sharding = NamedSharding(mesh, P())
+
+    def rep(x):
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(sharding, x, x.shape)
+
+    return jax.tree.map(rep, tree)
+
+
 def shard_batch(mesh: Mesh, batch, batch_axis: int = 0):
-    """Device-put a host batch with ``batch_axis`` sharded over the data axis.
+    """Put a host batch onto the mesh with ``batch_axis`` sharded over the
+    data axis.
 
     Train batches are stacked (accum, batch, ...) so their batch axis is 1.
     Arrays whose batch dim is not divisible by the mesh size (tiny eval tails,
     toy tests) are replicated instead.
+
+    Multi-host (jax.process_count() > 1): each process passes its PER-PROCESS
+    slice of the global batch (loaders shard with shard_id=process_index) and
+    the global array is assembled with
+    ``jax.make_array_from_process_local_data`` — a plain device_put of
+    host-global data would be wrong because each host only holds local data
+    (the reference's analogue is the per-rank DistributedSampler,
+    functions.py:168,196,216).
     """
     n = mesh.devices.size
+    nproc = jax.process_count()
 
     def put(x):
-        if x.ndim > batch_axis and x.shape[batch_axis] % n == 0:
+        if x.ndim > batch_axis and x.shape[batch_axis] % (n // nproc or 1) == 0:
             spec = [None] * x.ndim
             spec[batch_axis] = "data"
-            return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+            sharding = NamedSharding(mesh, P(*spec))
+            if nproc > 1:
+                global_shape = list(x.shape)
+                global_shape[batch_axis] *= nproc
+                return jax.make_array_from_process_local_data(
+                    sharding, np.asarray(x), tuple(global_shape)
+                )
+            if x.shape[batch_axis] % n == 0:
+                return jax.device_put(x, sharding)
+        if nproc > 1:  # replicated leaf; every process holds the same value
+            return jax.make_array_from_process_local_data(
+                NamedSharding(mesh, P()), np.asarray(x), x.shape
+            )
         return jax.device_put(x, NamedSharding(mesh, P()))
 
     return jax.tree.map(put, batch)

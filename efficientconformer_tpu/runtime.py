@@ -236,13 +236,20 @@ def evaluate(trainer: Trainer, state, dataset, tokenizer, *,
              batch_size: int = 8, eval_steps: Optional[int] = None,
              verbose: bool = False, max_consec: int = 5, beam_size: int = 1,
              eval_loss: bool = False, lm=None, num_workers: int = 0):
-    """Evaluation -> (wer, truths, preds, mean_loss). Reference model.py:386-490."""
+    """Evaluation -> (wer, truths, preds, mean_loss). Reference model.py:386-490.
+
+    Multi-host: each process decodes its shard of the dataset, then the
+    string lists are gathered across processes before the corpus-level WER
+    (the reference's all_gather_object, model.py:457-477)."""
+    nproc = jax.process_count()
     loader = AsrBatchLoader(dataset, batch_size, shuffle=False, drop_last=False,
-                            num_workers=num_workers)
+                            num_workers=num_workers,
+                            shard_id=jax.process_index(), num_shards=nproc)
     truths, preds = [], []
     total_loss, n_loss = 0.0, 0
     loss_fn = trainer.eval_loss_fn() if eval_loss else None
     for i, batch in enumerate(loader.epoch(0)):
+        n_valid = batch.pop("n_valid")
         mb = {k: v.reshape((-1,) + v.shape[2:]) for k, v in batch.items()}
         batch_preds = decode_batch(trainer, state, mb, tokenizer, max_consec,
                                    beam_size, lm=lm)
@@ -250,8 +257,16 @@ def evaluate(trainer: Trainer, state, dataset, tokenizer, *,
             [mb["labels"][b, : mb["label_len"][b]].tolist()
              for b in range(len(batch_preds))]
         )
-        preds += batch_preds
-        truths += batch_truths
+        # drop tail-padding duplicates (loader pads partial groups; this
+        # host's share of microbatch a is n_valid[a] / nproc rounded by slot)
+        micro = mb["labels"].shape[0] // len(n_valid)
+        keep = []
+        for a, nv in enumerate(np.asarray(n_valid)):
+            local_valid = min(max(int(nv) - jax.process_index() * micro, 0), micro) \
+                if nproc > 1 else int(nv)
+            keep += [a * micro + j for j in range(local_valid)]
+        preds += [batch_preds[j] for j in keep]
+        truths += [batch_truths[j] for j in keep]
         if eval_loss:
             total_loss += float(loss_fn(state, jax.tree.map(jnp.asarray, mb)))
             n_loss += 1
@@ -261,7 +276,30 @@ def evaluate(trainer: Trainer, state, dataset, tokenizer, *,
         if eval_steps and i + 1 >= eval_steps:
             break
     mean_loss = total_loss / n_loss if n_loss else None
+    if nproc > 1:
+        truths = gather_strings(truths)
+        preds = gather_strings(preds)
     return wer(truths, preds), truths, preds, mean_loss
+
+
+def gather_strings(strings):
+    """All-gather a list of strings across processes (multi-host WER; the
+    reference's torch.distributed.all_gather_object, model.py:465-466)."""
+    from jax.experimental import multihost_utils
+
+    blob = np.frombuffer("\x1e".join(strings).encode(), np.uint8)
+    n = np.asarray([blob.size], np.int64)
+    sizes = np.asarray(multihost_utils.process_allgather(n)).reshape(-1)
+    pad = int(sizes.max()) if sizes.size else 0
+    padded = np.zeros((pad,), np.uint8)
+    padded[: blob.size] = blob
+    gathered = np.asarray(multihost_utils.process_allgather(padded))
+    out = []
+    for p in range(gathered.shape[0]):
+        raw = gathered[p, : int(sizes[p])].tobytes().decode()
+        if raw:
+            out += raw.split("\x1e")
+    return out
 
 
 def run(args):
@@ -387,6 +425,8 @@ def run(args):
                 train_ds, tp["batch_size"],
                 accum_steps=tp.get("accumulated_steps", 1),
                 num_workers=args.num_workers,
+                shard_id=jax.process_index(),
+                num_shards=jax.process_count(),
             )
         writer = None
         try:

@@ -1,32 +1,73 @@
 """Checkpointing (reference model.py:346-384 torch.save dict -> pytree files).
 
-Stores (params, batch_stats, opt_state, step) via orbax when available, with a
-msgpack (flax.serialization) fallback for single-file portability. Supports:
-  * optimizer-less saves (SWA checkpoints, reference model.py:559-564);
-  * encoder-only restore for encoder pretraining -> transducer init
-    (reference model_ctc.py:77-88 load_encoder).
-Tokenizers are referenced by path in the config, never pickled.
+Two interchangeable backends behind one path-based API (auto-detected on
+load: a directory is orbax, a file is msgpack):
+  * msgpack (flax.serialization) single file, written ATOMICALLY
+    (tmp + os.replace) so a crash mid-save never corrupts the previous
+    checkpoint — default on a single host, trivially portable;
+  * orbax directory checkpoints — default under multi-host
+    (jax.process_count() > 1: coordinated, per-shard writes) or when
+    ECF_CKPT_FORMAT=orbax.
+
+Supports optimizer-less saves (SWA checkpoints, reference model.py:559-564)
+and encoder-only restore for encoder pretraining -> transducer init
+(reference model_ctc.py:77-88 load_encoder). Tokenizers are referenced by
+path in the config, never pickled.
 """
 
 from __future__ import annotations
 
 import os
-from typing import Any
+from typing import Any, Optional
 
 import jax
 from flax import serialization
 
 
-def save(path: str, state, save_optimizer: bool = True) -> None:
-    payload = {
+def _format(fmt: Optional[str]) -> str:
+    if fmt:
+        return fmt
+    env = os.environ.get("ECF_CKPT_FORMAT")
+    if env:
+        return env
+    return "orbax" if jax.process_count() > 1 else "msgpack"
+
+
+def _payload(state, save_optimizer: bool):
+    return {
         "params": state.params,
         "batch_stats": state.batch_stats,
         "opt_state": state.opt_state if save_optimizer else None,
         "step": state.step,
     }
+
+
+def save(path: str, state, save_optimizer: bool = True,
+         fmt: Optional[str] = None) -> None:
+    payload = _payload(state, save_optimizer)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(path, "wb") as f:
-        f.write(serialization.to_bytes(payload))
+    if _format(fmt) == "orbax":
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(path)
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(path, jax.tree.map(lambda x: x, payload), force=True)
+        return
+    blob = serialization.to_bytes(payload)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)  # atomic: partial writes never clobber `path`
+
+
+def _restore(path: str, template: dict) -> dict:
+    if os.path.isdir(path):  # orbax directory checkpoint
+        import orbax.checkpoint as ocp
+
+        with ocp.PyTreeCheckpointer() as ckptr:
+            return ckptr.restore(os.path.abspath(path))
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
 
 
 def load(path: str, template_state):
@@ -36,11 +77,16 @@ def load(path: str, template_state):
         "opt_state": template_state.opt_state,
         "step": template_state.step,
     }
-    with open(path, "rb") as f:
-        data = serialization.from_bytes(template, f.read())
+    data = _restore(path, template)
     opt_state = data["opt_state"]
     if opt_state is None:
         opt_state = template_state.opt_state
+    else:
+        # orbax restores as plain nested containers; rebuild the optax
+        # opt_state pytree structure from the template
+        opt_state = serialization.from_state_dict(
+            template_state.opt_state, serialization.to_state_dict(opt_state)
+        )
     return template_state.replace(
         params=data["params"],
         batch_stats=data["batch_stats"],
@@ -54,8 +100,14 @@ def load_encoder(path: str, template_state):
     rest of the model untouched (reference load_encoder semantics). The source
     checkpoint may come from a different model type (e.g. CTC encoder
     pretraining -> transducer init), so it is restored structure-free."""
-    with open(path, "rb") as f:
-        data = serialization.msgpack_restore(f.read())
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+
+        with ocp.PyTreeCheckpointer() as ckptr:
+            data = ckptr.restore(os.path.abspath(path))
+    else:
+        with open(path, "rb") as f:
+            data = serialization.msgpack_restore(f.read())
     new_params = dict(template_state.params)
     new_params["encoder"] = data["params"]["encoder"]
     new_bs = dict(template_state.batch_stats)

@@ -187,6 +187,8 @@ class Trainer:
         step_fns: dict = {}
         rng = jax.random.PRNGKey(self.seed + 1)
         py_step = int(state.step)  # host-side mirror; avoids per-step syncs
+        # multi-host: promote host-local state to global replicated arrays
+        state = mesh_lib.globalize(self.mesh, state)
         try:
             for epoch in range(initial_epoch, epochs):
                 t0 = time.time()

@@ -18,26 +18,49 @@
 namespace {
 
 struct BitReader {
+  // Buffered MSB-first bit reader: a 64-bit cache refilled bytewise, with
+  // count-leading-zeros unary decoding — the Rice decode hot path.
   const uint8_t* data;
   size_t size;
-  size_t byte = 0;
-  int bit = 0;  // bits consumed of current byte (0..7)
+  size_t pos = 0;      // next byte to load into the cache
+  uint64_t buf = 0;    // MSB-aligned cache
+  int nbits = 0;       // valid bits at the top of buf
   bool error = false;
 
   BitReader(const uint8_t* d, size_t s) : data(d), size(s) {}
 
-  bool eof() const { return byte >= size; }
-
-  uint32_t read_bit() {
-    if (byte >= size) { error = true; return 0; }
-    uint32_t v = (data[byte] >> (7 - bit)) & 1u;
-    if (++bit == 8) { bit = 0; ++byte; }
-    return v;
+  void fill() {
+    while (nbits <= 56 && pos < size) {
+      buf |= (uint64_t)data[pos++] << (56 - nbits);
+      nbits += 8;
+    }
   }
 
+  size_t bits_left() const { return (size - pos) * 8 + (size_t)nbits; }
+  bool eof() const { return bits_left() == 0; }
+
+  uint32_t read_bit() { return (uint32_t)read_bits(1); }
+
   uint64_t read_bits(int n) {  // n <= 57
+    if (n == 0) return 0;
+    if (n <= nbits) {  // fast path: whole read served from the cache
+      uint64_t v = buf >> (64 - n);
+      buf <<= n;
+      nbits -= n;
+      return v;
+    }
     uint64_t v = 0;
-    for (int i = 0; i < n; ++i) v = (v << 1) | read_bit();
+    while (n > 0) {
+      if (nbits == 0) {
+        fill();
+        if (nbits == 0) { error = true; return v << n; }
+      }
+      int take = n < nbits ? n : nbits;
+      v = (v << take) | (buf >> (64 - take));
+      buf <<= take;
+      nbits -= take;
+      n -= take;
+    }
     return v;
   }
 
@@ -50,16 +73,37 @@ struct BitReader {
 
   uint32_t read_unary() {
     uint32_t q = 0;
-    while (!error) {
-      if (read_bit()) break;
-      ++q;
-      if (q > 1u << 24) { error = true; break; }  // corrupt stream guard
+    for (;;) {
+      if (nbits == 0) {
+        fill();
+        if (nbits == 0) { error = true; return q; }
+      }
+      if (buf == 0) {  // all cached bits are zeros
+        q += nbits;
+        nbits = 0;
+        if (q > (1u << 24)) { error = true; return q; }  // corrupt guard
+        continue;
+      }
+      int lz = __builtin_clzll(buf);
+      if (lz >= nbits) {
+        q += nbits;
+        buf = 0;
+        nbits = 0;
+        continue;
+      }
+      q += lz;
+      buf <<= (lz + 1);
+      nbits -= (lz + 1);
+      return q;
     }
-    return q;
   }
 
   void align() {
-    if (bit) { bit = 0; ++byte; }
+    int drop = nbits % 8;
+    if (drop) {
+      buf <<= drop;
+      nbits -= drop;
+    }
   }
 };
 
@@ -104,10 +148,27 @@ bool decode_residual(BitReader& br, int blocksize, int pred_order,
       for (int i = 0; i < count; ++i)
         out[idx++] = br.read_signed((int)rawbits);
     } else {
+      // Rice hot loop: keep the cache refilled so the common case (quotient
+      // and remainder both inside the 64-bit cache) runs branch-light.
       for (int i = 0; i < count; ++i) {
-        uint64_t q = br.read_unary();
-        uint64_t u = (q << param) | br.read_bits((int)param);
-        out[idx++] = (int64_t)(u >> 1) ^ -(int64_t)(u & 1);
+        br.fill();
+        uint64_t q;
+        int lz;
+        if (br.buf != 0 && (lz = __builtin_clzll(br.buf)) < br.nbits &&
+            br.nbits - lz - 1 >= (int)param) {
+          q = (uint64_t)lz;
+          br.buf <<= (lz + 1);
+          br.nbits -= (lz + 1);
+          uint64_t r = param ? (br.buf >> (64 - param)) : 0;
+          br.buf <<= param;
+          br.nbits -= (int)param;
+          uint64_t u = (q << param) | r;
+          out[idx++] = (int64_t)(u >> 1) ^ -(int64_t)(u & 1);
+        } else {
+          q = br.read_unary();
+          uint64_t u = (q << param) | br.read_bits((int)param);
+          out[idx++] = (int64_t)(u >> 1) ^ -(int64_t)(u & 1);
+        }
       }
     }
     if (br.error) return false;
@@ -245,7 +306,7 @@ long long ecf_flac_decode(const uint8_t* data, size_t size, int32_t* out,
 
   while (true) {
     br.align();
-    if (br.byte >= br.size) break;  // clean EOF
+    if (br.eof()) break;  // clean EOF
     // frame sync: 14 bits 0b11111111111110
     uint32_t sync = (uint32_t)br.read_bits(14);
     if (br.error) break;

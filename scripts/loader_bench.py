@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Input-pipeline throughput: sustained audio-seconds/second from the
+bucketed loader over native-decoded FLAC, vs the measured train rate
+(~4,200 audio-s/s for CTC Small at 38 ms/step, NOTES_ROUND1.md).
+
+Generates a synthetic FLAC dataset (tests/flac_encoder.py), then times
+AsrBatchLoader epochs at several worker counts.
+
+Usage: python scripts/loader_bench.py [--files 64] [--seconds 10]
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "tests")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--files", type=int, default=64)
+    ap.add_argument("--seconds", type=float, default=10.0)
+    ap.add_argument("--batch", type=int, default=16)
+    args = ap.parse_args()
+
+    from flac_encoder import encode_flac
+    from efficientconformer_tpu.data.datasets import LibriSpeechDataset
+    from efficientconformer_tpu.data.loader import AsrBatchLoader
+
+    t = int(16000 * args.seconds)
+    with tempfile.TemporaryDirectory() as d:
+        manifest = os.path.join(d, "manifest_train_bpe_256.jsonl")
+        with open(manifest, "w") as mf:
+            rng = np.random.default_rng(0)
+            for i in range(args.files):
+                x = np.clip(rng.standard_normal(t) * 3000, -32768, 32767
+                            ).astype(np.int64)
+                p = os.path.join(d, f"{i:04d}.flac")
+                with open(p, "wb") as f:
+                    f.write(encode_flac(x[None], subframe="fixed", order=2,
+                                        blocksize=4096))
+                mf.write(json.dumps(
+                    {"audio": p, "audio_len": t,
+                     "labels": rng.integers(1, 256, 40).tolist()}) + "\n")
+        ds = LibriSpeechDataset(d, "train", vocab_type="bpe", vocab_size=256)
+        print(f"{args.files} files x {args.seconds:.0f}s "
+              f"({os.path.getsize(os.path.join(d, '0000.flac')) // 1024} KiB each)")
+        for workers in (0, 4, 8, 16):
+            loader = AsrBatchLoader(ds, args.batch, shuffle=True,
+                                    num_workers=workers, drop_last=True)
+            # warm epoch (OS page cache), then timed epochs
+            for _ in loader.epoch(0):
+                pass
+            t0 = time.perf_counter()
+            n_batches = 0
+            for ep in (1, 2):
+                for batch in loader.epoch(ep):
+                    n_batches += batch["audio"].shape[0] * batch["audio"].shape[1]
+            dt = time.perf_counter() - t0
+            rate = n_batches * args.seconds / dt
+            print(f"workers={workers:2d}: {rate:8.0f} audio-s/s "
+                  f"({n_batches} utts in {dt:.2f}s)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""Orbax-backend checkpointing: roundtrip, optimizer-less (SWA) saves,
+format auto-detection on load, and atomic msgpack writes."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+
+from efficientconformer_tpu.training.trainer import Trainer
+from efficientconformer_tpu.training import checkpoint
+from tests.test_convergence import make_cfg
+
+
+@pytest.fixture(scope="module")
+def tiny_state():
+    trainer = Trainer(make_cfg("CTC"))
+    micro = {
+        "audio": np.zeros((2, 6000), np.float32),
+        "labels": np.ones((2, 4), np.int32),
+        "audio_len": np.full((2,), 6000, np.int32),
+        "label_len": np.full((2,), 4, np.int32),
+    }
+    return trainer.init_state(micro)
+
+
+def params_equal(a, b):
+    return all(
+        np.array_equal(np.asarray(x), np.asarray(y))
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+    )
+
+
+def test_orbax_roundtrip(tiny_state, tmp_path):
+    p = os.path.join(str(tmp_path), "checkpoints_3.ckpt")
+    checkpoint.save(p, tiny_state.replace(step=tiny_state.step + 3), fmt="orbax")
+    assert os.path.isdir(p)  # directory checkpoint
+    loaded = checkpoint.load(p, tiny_state)  # auto-detects orbax
+    assert int(loaded.step) == 3
+    assert params_equal(tiny_state.params, loaded.params)
+    assert jax.tree.structure(tiny_state.opt_state) == jax.tree.structure(
+        loaded.opt_state
+    )
+
+
+def test_orbax_optimizerless_swa_save(tiny_state, tmp_path):
+    p = os.path.join(str(tmp_path), "checkpoints_swa.ckpt")
+    checkpoint.save(p, tiny_state, save_optimizer=False, fmt="orbax")
+    loaded = checkpoint.load(p, tiny_state)
+    assert params_equal(tiny_state.params, loaded.params)
+    # optimizer state falls back to the template
+    assert jax.tree.structure(tiny_state.opt_state) == jax.tree.structure(
+        loaded.opt_state
+    )
+
+
+def test_orbax_encoder_only_restore(tiny_state, tmp_path):
+    p = os.path.join(str(tmp_path), "checkpoints_enc.ckpt")
+    checkpoint.save(p, tiny_state, fmt="orbax")
+    zeroed = tiny_state.replace(
+        params=jax.tree.map(lambda x: x * 0, tiny_state.params)
+    )
+    restored = checkpoint.load_encoder(p, zeroed)
+    assert params_equal(tiny_state.params["encoder"], restored.params["encoder"])
+    assert float(
+        sum(np.abs(np.asarray(x)).sum()
+            for x in jax.tree.leaves(restored.params["fc"]))
+    ) == 0.0
+
+
+def test_msgpack_write_is_atomic(tiny_state, tmp_path):
+    p = os.path.join(str(tmp_path), "checkpoints_1.ckpt")
+    checkpoint.save(p, tiny_state, fmt="msgpack")
+    assert os.path.isfile(p)
+    assert not os.path.exists(p + ".tmp")
+    loaded = checkpoint.load(p, tiny_state)
+    assert params_equal(tiny_state.params, loaded.params)
