@@ -39,8 +39,12 @@ def create_tokenizer(training_params: dict, tokenizer_params: dict) -> BpeTokeni
         with open(corpus_path, "w") as f:
             for _utt, _d, text in _transcripts(dataset_path):
                 f.write(text + "\n")
-    with open(corpus_path) as f:
-        tok = train_bpe(f, tokenizer_params["vocab_size"])
+    from efficientconformer_tpu.data.tokenizer import train_bpe_native
+
+    tok = train_bpe_native(corpus_path, tokenizer_params["vocab_size"])
+    if tok is None:  # no native library: pure-Python fallback
+        with open(corpus_path) as f:
+            tok = train_bpe(f, tokenizer_params["vocab_size"])
     tok.save(tokenizer_params["tokenizer_path"])
     return tok
 

@@ -108,6 +108,52 @@ class BpeTokenizer:
         return cls(d["pieces"], [tuple(m) for m in d["merges"]])
 
 
+def train_bpe_native(corpus_path: str, vocab_size: int,
+                     lowercase: bool = False) -> "BpeTokenizer | None":
+    """Train with the C++ trainer (native/bpe_train.cpp) — identical output
+    to ``train_bpe`` (same merge rule and tie-break), built for corpus scale
+    (the 40M-line LM corpus). Returns None if the native library is
+    unavailable."""
+    import ctypes
+
+    try:
+        from efficientconformer_tpu.decoding import native_binding
+
+        lib = native_binding._load()
+    except Exception:
+        return None
+    if lib is None:
+        return None
+    if not hasattr(lib, "ecf_bpe_train"):
+        return None
+    lib.ecf_bpe_train.restype = ctypes.c_void_p
+    lib.ecf_bpe_train.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+    lib.ecf_bpe_result_size.restype = ctypes.c_longlong
+    lib.ecf_bpe_result_size.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.ecf_bpe_result.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p]
+    lib.ecf_bpe_train_free.argtypes = [ctypes.c_void_p]
+
+    h = lib.ecf_bpe_train(corpus_path.encode(), vocab_size, int(lowercase))
+    if not h:
+        return None
+    try:
+        def blob(which):
+            n = lib.ecf_bpe_result_size(h, which)
+            buf = ctypes.create_string_buffer(int(n))
+            lib.ecf_bpe_result(h, which, buf)
+            return buf.raw.decode()
+
+        pieces = [UNK_PIECE] + [p for p in blob(0).split("\n") if p]
+        merges = [
+            tuple(line.split("\t"))
+            for line in blob(1).split("\n")
+            if line
+        ]
+    finally:
+        lib.ecf_bpe_train_free(h)
+    return BpeTokenizer(pieces, merges)
+
+
 def train_bpe(lines: Iterable[str], vocab_size: int) -> BpeTokenizer:
     """Train a BPE model: character alphabet + merges until vocab_size pieces
     (including <unk> at id 0) or no pair occurs twice."""

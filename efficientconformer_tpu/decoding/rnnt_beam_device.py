@@ -150,8 +150,11 @@ def _beam_impl(variables, lm_variables, x, x_len, *, model, beam_size, tmp,
         return model.apply(variables, f_t, g, method=Transducer.joint_step)
 
     if use_lm:
+        # fixed-shape LM carry (RNN state, or a static-capacity KV cache for
+        # Transformer LMs) so hypothesis states can be stacked/gathered
         lm_template = lm_model.apply(
-            lm_variables, b, method=type(lm_model).init_carry
+            lm_variables, b, max_tokens + 1,
+            method=type(lm_model).init_carry_fixed,
         )
         lm_moved = _moved_flags(lm_template, b)
 

@@ -101,6 +101,58 @@ class MultiHeadSelfAttention(nn.Module):
 
         new_hidden = None
 
+        # ---------------------------------------- fixed-capacity cache step
+        # ``hidden`` = {"k": (B, L, D), "v": (B, L, D), "pos": (B,)} marks a
+        # STATIC KV cache with a per-row write position: x is a single-token
+        # query (B, 1, D). Unlike the growing-cache path below, the carry
+        # shape never changes, so beam searches can stack/gather hypothesis
+        # states freely (decoding/rnnt_beam_device.py). Per-row positions let
+        # hypotheses of different lengths share one batch.
+        if hidden is not None and isinstance(hidden, dict) and "pos" in hidden:
+            assert g == 1 and kw is None and s == 1 and not self.linear_att
+            assert x.shape[1] == 1, "fixed-cache path is a single-token step"
+            import jax
+
+            b = x.shape[0]
+            cap = hidden["k"].shape[1]
+            posn = hidden["pos"]
+            kc = hidden["k"].at[jnp.arange(b), posn].set(k[:, 0])
+            vc = hidden["v"].at[jnp.arange(b), posn].set(v[:, 0])
+            dh = d // h
+            kh = A.split_heads(kc, h)               # (B, H, L, dh)
+            vh = A.split_heads(vc, h)
+            if self.relative_pos_enc:
+                u = self._rel_bias("u", dh)
+                vbias = self._rel_bias("v", dh)
+                pos_layer = Dense(d, name="pos")
+                qu = A.split_heads(q + u.astype(x.dtype), h)[:, :, 0]
+                qv = A.split_heads(q + vbias.astype(x.dtype), h)[:, :, 0]
+                content = jnp.einsum("bhd,bhjd->bhj", qu, kh)
+                # causal rel table for distances 0..cap-1; entry i holds
+                # distance (cap-1 - i), so key j of row b indexes
+                # j + (cap-1 - pos_b)
+                table = pos_layer(
+                    P.relative_encoding(1, d, hidden_len=cap - 1, causal=True)
+                    .astype(x.dtype)
+                ).reshape(cap, h, dh)
+                idx = jnp.clip(
+                    jnp.arange(cap)[None, :] + (cap - 1) - posn[:, None],
+                    0, cap - 1,
+                )
+                e_sel = jnp.take(table, idx, axis=0)  # (B, L, H, dh)
+                rel = jnp.einsum("bhd,bjhd->bhj", qv, e_sel)
+                scores = (content + rel) / math.sqrt(dh)
+            else:
+                qh = A.split_heads(q, h)[:, :, 0]
+                scores = jnp.einsum("bhd,bhjd->bhj", qh, kh) / math.sqrt(dh)
+            invalid = jnp.arange(cap)[None, None, :] > posn[:, None, None]
+            scores = jnp.where(invalid, A.NEG_INF, scores)
+            p_att = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+            o = jnp.einsum("bhj,bhjd->bhd", p_att.astype(vh.dtype), vh)
+            o = o.reshape(b, 1, d)
+            new_hidden = {"k": kc, "v": vc, "pos": posn + 1}
+            return Dense(d, name="output", vn_std=self.vn_std)(o), new_hidden
+
         # ------------------------------------------------ linear attention
         if self.linear_att:
             dh = d // h

@@ -103,15 +103,44 @@ class TransformerDecoder(nn.Module):
     def step(self, y_t, carry):
         p = self.params
         x = self.embedding(y_t[:, None])
+        fixed = (
+            carry is not None and isinstance(carry[0], dict) and "pos" in carry[0]
+        )
         if not p["relative_pos_enc"]:
-            pos = carry[0]["k"].shape[1] if carry is not None else 0
-            enc = absolute_encoding(pos + 1, p["dim_model"]).astype(x.dtype)
-            x = x + enc[None, pos:]
+            if fixed:
+                # per-row positions (fixed-capacity cache)
+                import jax.numpy as jnp
+
+                enc = absolute_encoding(
+                    carry[0]["k"].shape[1], p["dim_model"]
+                ).astype(x.dtype)
+                x = x + jnp.take(enc, carry[0]["pos"], axis=0)[:, None]
+            else:
+                pos = carry[0]["k"].shape[1] if carry is not None else 0
+                enc = absolute_encoding(pos + 1, p["dim_model"]).astype(x.dtype)
+                x = x + enc[None, pos:]
         new_carry = []
         for i, block in enumerate(self.blocks):
             x, hid = block(x, None, carry[i] if carry is not None else None, False)
             new_carry.append(hid)
         return x[:, 0], tuple(new_carry)
+
+    def init_carry_fixed(self, batch: int, max_len: int):
+        """Fixed-capacity per-block KV caches with per-row positions: carry
+        shapes are static, so beam searches can stack/gather hypothesis
+        states (decoding/rnnt_beam_device.py)."""
+        import jax.numpy as jnp
+
+        p = self.params
+        d = p["dim_model"]
+        return tuple(
+            {
+                "k": jnp.zeros((batch, max_len, d), jnp.float32),
+                "v": jnp.zeros((batch, max_len, d), jnp.float32),
+                "pos": jnp.zeros((batch,), jnp.int32),
+            }
+            for _ in range(p["num_blocks"])
+        )
 
 
 class ConformerDecoder(nn.Module):

@@ -41,6 +41,14 @@ class LanguageModel(nn.Module):
             return self.decoder.init_carry(batch)
         return None
 
+    def init_carry_fixed(self, batch: int, max_len: int):
+        """Fixed-shape carry for on-device beam search: the RNN carry is
+        already fixed-shape; Transformer decoders get a static-capacity KV
+        cache with per-row positions."""
+        if hasattr(self.decoder, "init_carry_fixed"):
+            return self.decoder.init_carry_fixed(batch, max_len)
+        return self.init_carry(batch)
+
 
 def ce_loss(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
     """Cross entropy with ignore_index=-1, mean over non-ignored positions

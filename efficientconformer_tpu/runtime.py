@@ -103,8 +103,7 @@ def decode_batch(trainer: Trainer, state, batch, tokenizer,
                 )
             ngram = try_load(dp.get("ngram_path"), dp.get("ngram_offset", 100))
             use_ngram = ngram is not None and dp.get("ngram_alpha", 0.0)
-            lm_fixed_carry = lm is None or lm.get("arch") == "RNN"
-            if not use_ngram and lm_fixed_carry:
+            if not use_ngram:
                 # Default path: one jit program, zero host round trips.
                 from efficientconformer_tpu.decoding.rnnt_beam_device import (
                     beam_search_device,
@@ -123,8 +122,9 @@ def decode_batch(trainer: Trainer, state, batch, tokenizer,
                 )
                 return tokenizer.decode(token_lists)
 
-            # Host-orchestrated paths: n-gram fusion (ARPA state machine on
-            # host) and growing-KV-cache (Transformer) LMs.
+            # Host-orchestrated n-gram fusion (ARPA state machine on host);
+            # growing-KV-cache Transformer LMs additionally force the
+            # per-sample variant.
             from efficientconformer_tpu.decoding.rnnt_beam import (
                 beam_search,
                 beam_search_batched,

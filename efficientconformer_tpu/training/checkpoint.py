@@ -57,6 +57,10 @@ def save(path: str, state, save_optimizer: bool = True,
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(blob)
+    if os.path.isdir(path):  # replacing an old orbax directory checkpoint
+        import shutil
+
+        shutil.rmtree(path)
     os.replace(tmp, path)  # atomic: partial writes never clobber `path`
 
 
@@ -82,10 +86,23 @@ def load(path: str, template_state):
     if opt_state is None:
         opt_state = template_state.opt_state
     else:
-        # orbax restores as plain nested containers; rebuild the optax
-        # opt_state pytree structure from the template
+        # orbax restores as plain nested containers with None at empty nodes
+        # (optax EmptyState etc.); overlay the restored leaves onto the
+        # template's state dict, then rebuild the optax pytree structure
+        tpl_sd = serialization.to_state_dict(template_state.opt_state)
+        res_sd = serialization.to_state_dict(opt_state)
+
+        def overlay(tpl, res):
+            if res is None:
+                return tpl
+            if isinstance(tpl, dict):
+                if not isinstance(res, dict):
+                    return tpl
+                return {k: overlay(v, res.get(k)) for k, v in tpl.items()}
+            return res
+
         opt_state = serialization.from_state_dict(
-            template_state.opt_state, serialization.to_state_dict(opt_state)
+            template_state.opt_state, overlay(tpl_sd, res_sd)
         )
     return template_state.replace(
         params=data["params"],

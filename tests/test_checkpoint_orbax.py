@@ -75,3 +75,33 @@ def test_msgpack_write_is_atomic(tiny_state, tmp_path):
     assert not os.path.exists(p + ".tmp")
     loaded = checkpoint.load(p, tiny_state)
     assert params_equal(tiny_state.params, loaded.params)
+
+
+def test_orbax_roundtrip_with_decayed_weights_chain(tmp_path):
+    """Optax chains with empty-state nodes (weight decay + Noam schedule, as
+    in the shipped configs) restore correctly: orbax stores EmptyState as
+    None, which must fall back to the template (regression)."""
+    cfg = make_cfg("CTC")
+    cfg.training_params.update(
+        weight_decay=1e-6, lr_schedule="Transformer", schedule_dim=20,
+        warmup_steps=10, K=2,
+    )
+    trainer = Trainer(cfg)
+    micro = {
+        "audio": np.zeros((2, 6000), np.float32),
+        "labels": np.ones((2, 4), np.int32),
+        "audio_len": np.full((2,), 6000, np.int32),
+        "label_len": np.full((2,), 4, np.int32),
+    }
+    state = trainer.init_state(micro)
+    p = os.path.join(str(tmp_path), "checkpoints_2.ckpt")
+    checkpoint.save(p, state, fmt="orbax")
+    loaded = checkpoint.load(p, state)
+    assert jax.tree.structure(state.opt_state) == jax.tree.structure(
+        loaded.opt_state
+    )
+    # switching formats over the same path must also work (orbax dir -> msgpack)
+    checkpoint.save(p, state, fmt="msgpack")
+    assert os.path.isfile(p)
+    loaded2 = checkpoint.load(p, state)
+    assert params_equal(state.params, loaded2.params)
