@@ -22,11 +22,66 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(
-    devices: Optional[Sequence] = None, axis_names: tuple = ("data",)
+    devices: Optional[Sequence] = None, axis_names: tuple = ("data",),
+    model_parallel: int = 1,
 ) -> Mesh:
-    """1-D data-parallel mesh over all (or the given) devices."""
+    """Device mesh. Default: 1-D data-parallel over all devices.
+    ``model_parallel > 1`` builds a 2-D (data, model) mesh for tensor
+    parallelism (see ``shard_params``); the model axis should map to
+    ICI-adjacent devices (it carries the per-layer all-reduces)."""
     devices = list(devices if devices is not None else jax.devices())
+    if model_parallel > 1:
+        if len(devices) % model_parallel:
+            raise ValueError(
+                f"model_parallel={model_parallel} does not divide the "
+                f"{len(devices)} visible device(s)"
+            )
+        arr = np.asarray(devices).reshape(
+            len(devices) // model_parallel, model_parallel
+        )
+        return Mesh(arr, ("data", "model"))
     return Mesh(np.asarray(devices).reshape(len(devices)), axis_names)
+
+
+# Megatron-style tensor-parallel placement for the transformer/conformer
+# stacks: the first linear of each pair is column-parallel (output features
+# sharded), the second row-parallel (input features sharded) so each
+# FFN/attention pair needs ONE all-reduce, inserted automatically by GSPMD
+# from these input shardings. Everything else (convs, norms, biases of
+# row-parallel layers) is replicated.
+_COL_PARALLEL = (
+    "fc1", "pw1", "query", "key", "value",
+    "linear_joint", "linear_encoder", "linear_decoder", "fc",
+)
+_ROW_PARALLEL = ("fc2", "pw2", "output")
+
+
+def param_spec(path_names: tuple, leaf, mesh: Mesh) -> P:
+    """PartitionSpec for one parameter leaf under a (data, model) mesh."""
+    if "model" not in mesh.axis_names:
+        return P()
+    n_model = mesh.shape["model"]
+    parent = path_names[-2] if len(path_names) >= 2 else ""
+    leafname = path_names[-1]
+    if leafname == "kernel" and leaf.ndim == 2:
+        if parent in _COL_PARALLEL and leaf.shape[1] % n_model == 0:
+            return P(None, "model")
+        if parent in _ROW_PARALLEL and leaf.shape[0] % n_model == 0:
+            return P("model", None)
+    if leafname == "bias" and parent in _COL_PARALLEL \
+            and leaf.shape[0] % n_model == 0:
+        return P("model")
+    return P()
+
+
+def shard_params(mesh: Mesh, params):
+    """Place parameters onto the mesh according to ``param_spec``. Under a
+    1-D data mesh this replicates everything (a no-op for semantics)."""
+    def put(path, x):
+        names = tuple(str(getattr(k, "key", k)) for k in path)
+        return jax.device_put(x, NamedSharding(mesh, param_spec(names, x, mesh)))
+
+    return jax.tree_util.tree_map_with_path(put, params)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -52,7 +52,13 @@ class Trainer:
         self.model, self.loss_fn = factory.create_model(self.config)
         self.tx = optimizers.from_training_params(self.config.training_params)
         if self.mesh is None:
-            self.mesh = mesh_lib.make_mesh()
+            # training_params["model_parallel"] > 1 adds a Megatron-style
+            # tensor-parallel mesh axis (see parallel/mesh.shard_params)
+            self.mesh = mesh_lib.make_mesh(
+                model_parallel=self.config.training_params.get(
+                    "model_parallel", 1
+                )
+            )
         self.vn_start_step = self.config.training_params.get("vn_start_step")
         self.encoder_frozen_steps = self.config.training_params.get(
             "encoder_frozen_steps"
@@ -189,6 +195,13 @@ class Trainer:
         py_step = int(state.step)  # host-side mirror; avoids per-step syncs
         # multi-host: promote host-local state to global replicated arrays
         state = mesh_lib.globalize(self.mesh, state)
+        # tensor parallelism: place params by the Megatron rules; GSPMD
+        # propagates the shardings through the step and inserts the
+        # per-layer all-reduces over the model axis
+        if "model" in self.mesh.axis_names:
+            state = state.replace(
+                params=mesh_lib.shard_params(self.mesh, state.params)
+            )
         try:
             for epoch in range(initial_epoch, epochs):
                 t0 = time.time()

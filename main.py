@@ -75,7 +75,12 @@ def build_parser():
 def main(args=None):
     args = build_parser().parse_args(args)
     if args.cpu:
-        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        # force CPU even when a sitecustomize pre-set JAX_PLATFORMS exists
+        # (env setdefault alone would silently lose to it)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from efficientconformer_tpu import runtime
 
