@@ -1,8 +1,8 @@
 """Fully on-device transducer beam search.
 
 One jit-compiled program: encode -> ``lax.while_loop`` over encoder frames,
-with the frame's expansion loop run as a ``fori_loop`` of EXACT sequential
-pops, lock-stepped across the batch. This reproduces the host implementation
+with the frame's expansion loop run as EXACT sequential pops, lock-stepped
+across the batch. This reproduces the host implementation
 (decoding/rnnt_beam.py, reference models/transducer.py:188-326 semantics)
 pop-for-pop:
 
@@ -17,21 +17,39 @@ pop-for-pop:
     hypothesis stores the state BEFORE its last token; the pop replays
     dec_step(last_token, state).
 
+Structural optimisation — the **blank-coasting fast path** (EXACT, changes no
+outcome): a hypothesis's replay ``dec_step(last_token, lagging_carry)`` — the
+decoder output ``g``, the post-replay carry, and (under fusion) the LM
+log-softmax — depends only on the token history, never on the frame, so every
+frame-boundary beam slot caches them from the pop that created it. Each frame
+then starts with ONE batched joint over the cached ``g``s, giving the fused
+extension log-probs of all W frame-initial hypotheses. If for every sample
+``max_i child_prio_i <= min_i prio_i`` (the best possible token extension
+cannot outrank any frame-initial hypothesis — ties lose to frame-initial
+hyps, which precede children in A slot order), the W pops provably pop
+exactly the frame-initial beams in priority order and only their blank
+extensions survive: the frame reduces to ``score += logp(blank)`` under that
+permutation, with no prediction-network work at all. Such frames run in an
+inner ``lax.while_loop`` with a tiny body; the full pop loop runs only for
+frames where a token extension is in contention. ``lax.cond`` is deliberately
+NOT used: on TPU its fixed per-iteration cost exceeds the work it would skip
+at these shapes (measured; see NOTES_ROUND2.md).
+
 The payoff is latency: the host pays a device round trip per pop
 (W * T_frames round trips per batch); here the entire search is one XLA
-program — the pops become W sequential (B,)-shaped dec/joint steps per
-frame with no host synchronisation.
+program, and blank-coasting frames (the common case for trained models,
+especially at small batch) skip their W sequential pops entirely.
 
 Optional neural-LM shallow fusion (reference transducer.py:260-273) for LMs
-with fixed-shape carries (RNN LMs): logP += lm_weight *
-log_softmax(lm_logits / lm_tmp) over the full vocabulary, blank included,
-exactly like the reference.
+with fixed-shape carries (RNN LMs, or Transformer LMs via the static-capacity
+KV cache): logP += lm_weight * log_softmax(lm_logits / lm_tmp) over the full
+vocabulary, blank included, exactly like the reference.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp
@@ -124,8 +142,30 @@ def _slot_set(tree, idx, value):
     """Write value (B, ...) into slot idx (B,) of tree leaves (B, C, ...)."""
     def s(a, v):
         b = a.shape[0]
-        return a.at[jnp.arange(b), idx].set(v)
+        return a.at[jnp.arange(b), idx].set(v.astype(a.dtype))
     return jax.tree.map(s, tree, value)
+
+
+def _slot_permute(tree, order):
+    """Leaves (B, W, ...), order (B, W) -> slots reordered per sample."""
+    def g(a):
+        ix = order.reshape(order.shape + (1,) * (a.ndim - 2))
+        return jnp.take_along_axis(a, ix, axis=1)
+    return jax.tree.map(g, tree)
+
+
+def _tile_slots(tree, n):
+    return jax.tree.map(
+        lambda a: jnp.broadcast_to(a[:, None], (a.shape[0], n) + a.shape[1:]),
+        tree,
+    )
+
+
+def _pad_slots(tree, pad):
+    return jax.tree.map(
+        lambda a: jnp.pad(a, ((0, 0), (0, pad)) + ((0, 0),) * (a.ndim - 2)),
+        tree,
+    )
 
 
 def _beam_impl(variables, lm_variables, x, x_len, *, model, beam_size, tmp,
@@ -166,36 +206,97 @@ def _beam_impl(variables, lm_variables, x, x_len, *, model, beam_size, tmp,
             return logits, _carry_store(nc, lm_moved)
 
         lm_init = _carry_store(lm_template, lm_moved)
-    else:
-        lm_init = ()
 
     dec_init = _carry_store(dec_template, dec_moved)
 
-    def tile_slots(tree, n):
-        return jax.tree.map(
-            lambda a: jnp.broadcast_to(
-                a[:, None], (a.shape[0], n) + a.shape[1:]
-            ),
-            tree,
+    # Replay of the start hypothesis (last_tok = 0 on the initial carry) —
+    # cached into every initial beam slot, like any later pop would cache it.
+    zeros_tok = jnp.zeros((b,), jnp.int32)
+    g0, nc0 = dec_step(zeros_tok, dec_init)
+    if use_lm:
+        lm_logits0, lm_nc0 = lm_step(zeros_tok, lm_init)
+        lm_lp0 = jax.nn.log_softmax(
+            lm_logits0.astype(jnp.float32) / lm_tmp, axis=-1
         )
 
     # Frame-boundary beam state (the host's B list), W slots in arrival order.
+    # Per slot: token history, the LAGGING decoder/LM carries (the state
+    # BEFORE last_tok — replayed by the pop loop), and the CACHED replay
+    # products (decoder output g, post-replay carries, LM log-softmax) that
+    # power the fast path and seed children without recomputation.
     beams = {
         "score": jnp.where(jnp.arange(w)[None, :] == 0, 0.0, NEG)
         * jnp.ones((b, 1)),
         "tokens": jnp.zeros((b, w, max_tokens), jnp.int32),
         "n_tok": jnp.zeros((b, w), jnp.int32),
         "last_tok": jnp.zeros((b, w), jnp.int32),
-        "carry": tile_slots(dec_init, w),        # lagging (pre-last-token)
-        "lm_carry": tile_slots(lm_init, w),
+        "carry": _tile_slots(dec_init, w),       # lagging
+        "g": _tile_slots(g0, w),                 # cached replay products
+        "carry_next": _tile_slots(nc0, w),
     }
+    if use_lm:
+        beams["lm_carry"] = _tile_slots(lm_init, w)      # lagging
+        beams["lm_lp"] = _tile_slots(lm_lp0, w)
+        beams["lm_carry_next"] = _tile_slots(lm_nc0, w)
 
-    def frame_body(state):
-        t = state["t"]
+    def frame_inputs(t, bm):
+        """Per-frame precomputation from the cached replay products: the
+        fused extension log-probs of every frame-initial hypothesis (one
+        batched joint — no prediction-network work) and the exact
+        fast-path predicate."""
         f_t = f[jnp.arange(b), jnp.minimum(t, f.shape[1] - 1)]
-        active = t < f_len                                   # (B,)
+        active = t < f_len
+        f_w = jnp.broadcast_to(f_t[:, None], (b, w) + f_t.shape[1:])
+        logits0 = joint_step(f_w, bm["g"]) / tmp          # (B, W, V)
+        fused0 = jax.nn.log_softmax(logits0.astype(jnp.float32), axis=-1)
+        if use_lm:
+            fused0 = fused0 + lm_weight * bm["lm_lp"]
 
-        prev = state["beams"]
+        valid = bm["score"] > NEG / 2
+        n_f = bm["n_tok"].astype(jnp.float32)
+        prio = jnp.where(valid, bm["score"] / (1.0 + n_f), NEG)
+        best_tok_lp = jnp.max(fused0[..., 1:], axis=-1)
+        child_prio = jnp.where(
+            valid & (bm["n_tok"] < max_tokens),
+            (bm["score"] + best_tok_lp) / (2.0 + n_f),
+            NEG,
+        )
+        fast_b = jnp.all(valid, axis=1) & (
+            jnp.max(child_prio, axis=1) <= jnp.min(prio, axis=1)
+        )
+        fast = jnp.all(fast_b | ~active)
+        return f_t, active, fused0, prio, fast
+
+    def keep_active(active, new, old):
+        def k(nv, ov):
+            m = active.reshape((b,) + (1,) * (nv.ndim - 1))
+            return jnp.where(m, nv, ov)
+        return jax.tree.map(k, new, old)
+
+    def fast_frame(s):
+        """All W pops provably pop the frame-initial beams in priority order
+        (earliest slot on ties) and only blank extensions survive: apply the
+        permutation and the blank score in O(W) vector ops."""
+        prev = s["beams"]
+        order = jnp.argsort(-s["prio"], axis=1)           # stable
+        nb = _slot_permute(prev, order)
+        nb["score"] = jnp.take_along_axis(
+            prev["score"] + s["fused0"][..., 0], order, axis=1
+        )
+        nb = keep_active(s["active"], nb, prev)
+        t = s["t"] + s["active"].astype(jnp.int32)
+        f_t, active, fused0, prio, fast = frame_inputs(t, nb)
+        return {"t": t, "beams": nb, "f_t": f_t, "active": active,
+                "fused0": fused0, "prio": prio, "fast": fast}
+
+    def slow_frame(s):
+        """The exact sequential pop loop. Every pop replays the popped
+        hypothesis's last token through the prediction network (and LM);
+        frame-initial pops take their extension log-probs from the batched
+        ``fused0`` (numerically identical input to the fast-path predicate),
+        child pops from their own replay."""
+        prev = s["beams"]
+        f_t, active, fused0 = s["f_t"], s["active"], s["fused0"]
         pad = cap - w
         a_set = {
             "score": jnp.pad(prev["score"], ((0, 0), (0, pad)),
@@ -203,19 +304,10 @@ def _beam_impl(variables, lm_variables, x, x_len, *, model, beam_size, tmp,
             "tokens": jnp.pad(prev["tokens"], ((0, 0), (0, pad), (0, 0))),
             "n_tok": jnp.pad(prev["n_tok"], ((0, 0), (0, pad))),
             "last_tok": jnp.pad(prev["last_tok"], ((0, 0), (0, pad))),
-            "carry": jax.tree.map(
-                lambda a_: jnp.pad(
-                    a_, ((0, 0), (0, pad)) + ((0, 0),) * (a_.ndim - 2)
-                ),
-                prev["carry"],
-            ),
-            "lm_carry": jax.tree.map(
-                lambda a_: jnp.pad(
-                    a_, ((0, 0), (0, pad)) + ((0, 0),) * (a_.ndim - 2)
-                ),
-                prev["lm_carry"],
-            ),
+            "carry": _pad_slots(prev["carry"], pad),
         }
+        if use_lm:
+            a_set["lm_carry"] = _pad_slots(prev["lm_carry"], pad)
         pool = jax.tree.map(jnp.zeros_like, prev)
         pool["score"] = jnp.full((b, w), NEG)
 
@@ -223,50 +315,58 @@ def _beam_impl(variables, lm_variables, x, x_len, *, model, beam_size, tmp,
             a, pool = carry
             # ---- pop the best hypothesis (norm score, earliest index wins
             # ties, matching Python max over the ordered list)
-            prio = jnp.where(
+            prio_a = jnp.where(
                 a["score"] > NEG / 2,
                 a["score"] / (1.0 + a["n_tok"].astype(jnp.float32)),
                 NEG,
             )
-            p = jnp.argmax(prio, axis=1)                      # (B,)
-            popped = {k: _slot_gather(a[k], p)
-                      for k in ("score", "tokens", "n_tok", "last_tok")}
-            popped["carry"] = _slot_gather(a["carry"], p)
-            popped["lm_carry"] = _slot_gather(a["lm_carry"], p)
+            p = jnp.argmax(prio_a, axis=1)                # (B,)
+            popped = {k: _slot_gather(a[k], p) for k in a}
             a = dict(a, score=a["score"].at[jnp.arange(b), p].set(NEG))
 
             # ---- replay the popped hyp's last token (host lagging-state
-            # convention), then score its extensions
-            g, new_carry = dec_step(popped["last_tok"], popped["carry"])
-            logits = joint_step(f_t, g) / tmp
-            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            # convention); frame-initial slots (p < w) swap in their cached
+            # batched-joint log-probs so predicate and execution agree
+            is_ini = p < w
+            p_ini = jnp.minimum(p, w - 1)
+            g_c, nc_c = dec_step(popped["last_tok"], popped["carry"])
+            logits_c = joint_step(f_t, g_c) / tmp
+            logp = jax.nn.log_softmax(logits_c.astype(jnp.float32), axis=-1)
+            logp = jnp.where(
+                is_ini[:, None], fused0[jnp.arange(b), p_ini], logp
+            )
             if use_lm:
-                lm_logits, new_lm_carry = lm_step(
+                lm_logits_c, lm_nc_c = lm_step(
                     popped["last_tok"], popped["lm_carry"]
                 )
-                logp = logp + lm_weight * jax.nn.log_softmax(
-                    lm_logits.astype(jnp.float32) / lm_tmp, axis=-1
+                lm_lp = jax.nn.log_softmax(
+                    lm_logits_c.astype(jnp.float32) / lm_tmp, axis=-1
                 )
-            else:
-                new_lm_carry = popped["lm_carry"]
+                logp = jnp.where(
+                    is_ini[:, None], logp, logp + lm_weight * lm_lp
+                )
 
-            # ---- blank extension -> pool slot e (arrival order)
+            # ---- blank extension -> pool slot e (arrival order), with the
+            # replay products cached for the fast path of later frames
             e_idx = jnp.full((b,), e, jnp.int32)
-            pool = {
-                "score": pool["score"].at[:, e].set(
-                    popped["score"] + logp[:, 0]
-                ),
-                "tokens": _slot_set(pool["tokens"], e_idx, popped["tokens"]),
-                "n_tok": pool["n_tok"].at[:, e].set(popped["n_tok"]),
-                "last_tok": pool["last_tok"].at[:, e].set(popped["last_tok"]),
-                "carry": _slot_set(pool["carry"], e_idx, popped["carry"]),
-                "lm_carry": _slot_set(
-                    pool["lm_carry"], e_idx, popped["lm_carry"]
-                ),
+            entry = {
+                "score": popped["score"] + logp[:, 0],
+                "tokens": popped["tokens"],
+                "n_tok": popped["n_tok"],
+                "last_tok": popped["last_tok"],
+                "carry": popped["carry"],
+                "g": g_c,
+                "carry_next": nc_c,
             }
+            if use_lm:
+                entry["lm_carry"] = popped["lm_carry"]
+                entry["lm_lp"] = lm_lp
+                entry["lm_carry_next"] = lm_nc_c
+            pool = _slot_set(pool, e_idx, entry)
 
-            # ---- top-W token extensions -> A slots [w + e*w : w + (e+1)*w]
-            tok_lp, toks = jax.lax.top_k(logp[:, 1:], w)      # (B, W)
+            # ---- top-W token extensions -> A slots [w+e*w : w+(e+1)*w];
+            # their lagging carry is the popped hyp's post-replay carry
+            tok_lp, toks = jax.lax.top_k(logp[:, 1:], w)   # (B, W)
             toks = toks + 1
             child_scores = jnp.where(
                 (popped["n_tok"] < max_tokens)[:, None],
@@ -274,7 +374,7 @@ def _beam_impl(variables, lm_variables, x, x_len, *, model, beam_size, tmp,
                 NEG,
             )
             n_new = jnp.minimum(popped["n_tok"], max_tokens - 1)
-            base = popped["tokens"]                           # (B, U)
+            base = popped["tokens"]                        # (B, U)
             child_tokens = jnp.broadcast_to(
                 base[:, None], (b, w, max_tokens)
             ).at[jnp.arange(b)[:, None], jnp.arange(w)[None, :],
@@ -286,45 +386,54 @@ def _beam_impl(variables, lm_variables, x, x_len, *, model, beam_size, tmp,
                     arr, update.astype(arr.dtype), slot0, axis=1
                 )
 
-            a = {
+            def put_bcast(arr, v):
+                return put(
+                    arr, jnp.broadcast_to(v[:, None], (b, w) + v.shape[1:])
+                )
+
+            a_next = {
                 "score": put(a["score"], child_scores),
                 "tokens": put(a["tokens"], child_tokens),
                 "n_tok": put(
                     a["n_tok"], (popped["n_tok"] + 1)[:, None].repeat(w, 1)
                 ),
                 "last_tok": put(a["last_tok"], toks),
-                "carry": jax.tree.map(
-                    lambda arr, v: put(
-                        arr,
-                        jnp.broadcast_to(v[:, None], (b, w) + v.shape[1:]),
-                    ),
-                    a["carry"], new_carry,
-                ),
-                "lm_carry": jax.tree.map(
-                    lambda arr, v: put(
-                        arr,
-                        jnp.broadcast_to(v[:, None], (b, w) + v.shape[1:]),
-                    ),
-                    a["lm_carry"], new_lm_carry,
-                ),
+                "carry": jax.tree.map(put_bcast, a["carry"], nc_c),
             }
-            return (a, pool)
+            if use_lm:
+                a_next["lm_carry"] = jax.tree.map(
+                    put_bcast, a["lm_carry"], lm_nc_c
+                )
+            return (a_next, pool)
 
         _, pool_final = jax.lax.fori_loop(0, w, pop, (a_set, pool))
 
-        # frozen samples (t >= f_len) keep their previous beams
-        def keep(new, old):
-            m = active.reshape((b,) + (1,) * (new.ndim - 1))
-            return jnp.where(m, new, old)
+        nb = keep_active(active, pool_final, prev)
+        t = s["t"] + active.astype(jnp.int32)
+        f_t, active, fused0, prio, fast = frame_inputs(t, nb)
+        return {"t": t, "beams": nb, "f_t": f_t, "active": active,
+                "fused0": fused0, "prio": prio, "fast": fast}
 
-        next_beams = jax.tree.map(keep, pool_final, prev)
-        return {"t": t + 1, "beams": next_beams}
+    t0 = jnp.zeros((b,), jnp.int32)
+    f_t0, active0, fused00, prio0, fast0 = frame_inputs(t0, beams)
+    state = {"t": t0, "beams": beams, "f_t": f_t0, "active": active0,
+             "fused0": fused00, "prio": prio0, "fast": fast0}
 
-    state = jax.lax.while_loop(
-        lambda s: jnp.any(s["t"] < f_len),
-        frame_body,
-        {"t": jnp.zeros((b,), jnp.int32), "beams": beams},
-    )
+    def any_left(s):
+        return jnp.any(s["t"] < f_len)
+
+    def outer_body(s):
+        # run consecutive provably-blank-coasting frames with the tiny body
+        s = jax.lax.while_loop(
+            lambda ss: ss["fast"] & jnp.any(ss["t"] < f_len),
+            fast_frame,
+            s,
+        )
+        # then one full pop-loop frame (a no-op via keep_active when the
+        # fast run exhausted all samples — at most one spurious frame)
+        return slow_frame(s)
+
+    state = jax.lax.while_loop(any_left, outer_body, state)
 
     # Length-normalised selection (reference transducer.py:326: the leading
     # blank makes len(prediction) == 1 + emitted tokens). argmax picks the

@@ -22,6 +22,13 @@ def main():
     p.add_argument("--seconds", type=float, default=10.0)
     p.add_argument("--config", default="configs/EfficientConformerTransducerMedium.json")
     p.add_argument("--skip-host", action="store_true")
+    p.add_argument("--blank-bias", type=float, default=0.0,
+                   help="add to the joint's blank logit bias. Random weights "
+                        "emit max_tokens on every frame (length normalisation "
+                        "favours longer hyps at uniform logits) — the "
+                        "adversarial worst case for the beam. A positive bias "
+                        "emulates a trained model's blank-dominant emission "
+                        "profile (the realistic case).")
     args = p.parse_args()
 
     import numpy as np
@@ -48,6 +55,13 @@ def main():
     y = jnp.zeros((args.batch, 8), jnp.int32)
     y_len = jnp.full((args.batch,), 8, jnp.int32)
     variables = model.init(init_rng, x[:, :16000], y, x_len // args.seconds, y_len, False)
+    if args.blank_bias:
+        variables = jax.tree_util.tree_map_with_path(
+            lambda path, v: v.at[0].add(args.blank_bias)
+            if any(getattr(k, "key", None) == "linear_joint" for k in path)
+            and getattr(path[-1], "key", None) == "bias" else v,
+            variables,
+        )
     print(f"model ready; B={args.batch} W={args.beam} audio={args.seconds}s",
           flush=True)
 
