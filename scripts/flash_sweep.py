@@ -47,7 +47,7 @@ def main():
             for tk in (1024, 2048):
                 PA.FLASH_TQ, PA.FLASH_TK = tq, tk
                 try:
-                    fl = jax.jit(lambda *a: PA._flash_forward(*a, scale))
+                    fl = jax.jit(lambda *a: PA._flash_forward(*a, scale)[0])
                     t_fl = timeit(fl, q, k, v, bias)
                     ok = float(jnp.max(jnp.abs(
                         fl(q, k, v, bias).astype(jnp.float32)

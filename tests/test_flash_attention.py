@@ -34,9 +34,15 @@ def test_flash_matches_reference(nq, nk, dqk, dv, keymask):
         ).astype(jnp.float32) * jnp.ones((b, 1, 1, nk))
     else:
         bias = jnp.array(rng.standard_normal((b, 1, nq, nk)), jnp.float32)
-    out = pa._flash_forward(q, k, v, bias, 0.11)
+    out, lse = pa._flash_forward(q, k, v, bias, 0.11)
     want = pa.reference_bias_attention(q, k, v, bias, 0.11)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-5)
+    # saved log-sum-exp matches the reference softmax normaliser
+    s = jnp.einsum("bhnd,bhmd->bhnm", q, k).astype(jnp.float32) * 0.11
+    s = s + bias.astype(jnp.float32)
+    want_lse = jax.scipy.special.logsumexp(s, axis=-1)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(want_lse),
+                               atol=2e-5, rtol=1e-5)
 
 
 def test_dispatch_large_uses_jnp_path():
