@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax.numpy as jnp
 from flax import linen as nn
 
 from efficientconformer_tpu.config import BlockConfig
@@ -22,6 +23,16 @@ from efficientconformer_tpu.models.blocks import ConformerBlock, TransformerBloc
 from efficientconformer_tpu.models.layers import LSTM, Embedding
 from efficientconformer_tpu.ops.masks import streaming_mask
 from efficientconformer_tpu.ops.pos_enc import absolute_encoding
+
+
+def _compute_cast(params: dict, x):
+    """Cast activations to the training compute dtype (bf16 under the
+    reference's mixed_precision AMP flag, model.py:179,239). Applied on the
+    teacher-forced path only — decode ``step`` loops stay fp32, matching the
+    reference, whose autocast wraps the training forward but not decoding.
+    All layers follow the activation dtype (weights stay fp32 masters)."""
+    dt = params.get("compute_dtype")
+    return x.astype(jnp.dtype(dt)) if dt else x
 
 
 class RnnDecoder(nn.Module):
@@ -45,7 +56,7 @@ class RnnDecoder(nn.Module):
         )
 
     def __call__(self, y, y_len=None, train: bool = False):
-        e = self.embedding(y)
+        e = _compute_cast(self.params, self.embedding(y))
         out, _ = self.rnn(e)
         return out
 
@@ -92,7 +103,7 @@ class TransformerDecoder(nn.Module):
         mask = streaming_mask(
             y.shape[1], y_len, p.get("left_context", p["max_pos_encoding"]), 0
         )
-        x = self.embedding(y)
+        x = _compute_cast(p, self.embedding(y))
         x = self.dropout(x, deterministic=not train)
         if not p["relative_pos_enc"]:
             x = x + absolute_encoding(y.shape[1], p["dim_model"]).astype(x.dtype)[None]
@@ -183,7 +194,7 @@ class ConformerDecoder(nn.Module):
         mask = streaming_mask(
             y.shape[1], y_len, p.get("left_context", p["max_pos_encoding"]), 0
         )
-        x = self.embedding(y)
+        x = _compute_cast(p, self.embedding(y))
         x = self.dropout(x, deterministic=not train)
         if not p["relative_pos_enc"]:
             x = x + absolute_encoding(y.shape[1], p["dim_model"]).astype(x.dtype)[None]

@@ -29,15 +29,24 @@ def create_model(config: Config) -> Tuple[nn.Module, Callable]:
     # mixed_precision (reference AMP, model.py:179,239) maps to a bf16 compute
     # policy: fp32 frontend + params, bf16 activations on the MXU. No loss
     # scaling is needed on TPU (bf16 keeps the fp32 exponent range).
-    enc_params = dict(config.encoder_params)
-    if config.training_params.get("mixed_precision") and "compute_dtype" not in enc_params:
-        enc_params["compute_dtype"] = "bfloat16"
+    mixed = bool(config.training_params.get("mixed_precision"))
+
+    def with_policy(params: dict) -> dict:
+        params = dict(params)
+        if mixed and "compute_dtype" not in params:
+            params["compute_dtype"] = "bfloat16"
+        return params
+
+    enc_params = with_policy(config.encoder_params)
 
     if mtype == "Transducer":
+        # prediction net + joint follow the bf16 policy on the teacher-forced
+        # lattice path (the reference autocasts the whole training forward);
+        # decode step loops stay fp32 like the reference's un-autocast decoding
         model = Transducer(
             encoder_params=enc_params,
-            decoder_params=config.decoder_params,
-            joint_params=config.joint_params,
+            decoder_params=with_policy(config.decoder_params),
+            joint_params=with_policy(config.joint_params),
             vocab_size=config.decoder_params["vocab_size"],
             vn_std=vn_std,
         )
@@ -80,7 +89,7 @@ def create_model(config: Config) -> Tuple[nn.Module, Callable]:
 
     if mtype == "LM":
         model = LanguageModel(
-            lm_params=config.lm_params, vocab_size=config.vocab_size
+            lm_params=with_policy(config.lm_params), vocab_size=config.vocab_size
         )
 
         def loss_fn(outputs, batch):

@@ -48,6 +48,14 @@ class JointNetwork(nn.Module):
 
     def __call__(self, f, g):
         """Lattice mode: f (B, T, De), g (B, U+1, Dd) -> (B, T, U+1, V)."""
+        # Under mixed_precision (reference AMP, model.py:179,239) the whole
+        # lattice — including the memory-dominant (B, T, U+1, V) output —
+        # computes in bf16; the RNN-T loss upcasts per-element (fused by XLA),
+        # so HBM holds the lattice once, at half width.
+        dt = self.params.get("compute_dtype")
+        if dt:
+            f = f.astype(jnp.dtype(dt))
+            g = g.astype(jnp.dtype(dt))
         if self.linear_encoder is not None:
             f = self.linear_encoder(f)
             g = self.linear_decoder(g)

@@ -23,7 +23,11 @@ def main():
     ap.add_argument("--config", default="configs/EfficientConformerCTCSmall.json")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--seconds", type=float, default=10.0)
-    ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["bfloat16", "bf16-encoder", "float32"],
+                    help="bfloat16 = mixed_precision policy (whole forward); "
+                         "bf16-encoder = encoder-only bf16 (pre-round-2 "
+                         "behaviour, for comparison); float32 = full fp32")
     ap.add_argument("--pallas-bwd", default="auto", choices=["auto", "on", "off"])
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--label-hz", type=float, default=5.0,
@@ -42,7 +46,8 @@ def main():
         pa.PALLAS_BWD = args.pallas_bwd == "on"
 
     cfg = load_config(args.config)
-    if args.dtype == "bfloat16":
+    cfg.training_params["mixed_precision"] = args.dtype == "bfloat16"
+    if args.dtype == "bf16-encoder":
         cfg.encoder_params["compute_dtype"] = "bfloat16"
     cfg.training_params["accumulated_steps"] = 1
 

@@ -157,3 +157,62 @@ def test_adam_matches_torch_semantics():
         topt.step()
 
     np.testing.assert_allclose(np.asarray(w), tw.detach().numpy(), rtol=1e-5)
+
+
+def test_mixed_precision_bf16_policy():
+    """training_params.mixed_precision (reference AMP, model.py:179,239) puts
+    the whole teacher-forced transducer forward — encoder, prediction net and
+    the (B, T, U+1, V) joint lattice — in bf16; params stay fp32 masters, the
+    loss is finite, and the decode step path stays fp32 (the reference does
+    not autocast decoding)."""
+    from efficientconformer_tpu.models import factory
+    from efficientconformer_tpu.models.transducer import Transducer
+    from tests.test_models import TINY_DEC, TINY_ENC, TINY_JOINT
+
+    cfg = from_dict(
+        {
+            "model_type": "Transducer",
+            "model_name": "tiny mp",
+            "encoder_params": dict(TINY_ENC),
+            "decoder_params": dict(TINY_DEC),
+            "joint_params": dict(TINY_JOINT),
+            "tokenizer_params": {"vocab_size": 9, "vocab_type": "bpe",
+                                 "tokenizer_path": "/nonexistent"},
+            "training_params": {
+                "optimizer": "Adam", "beta1": 0.9, "beta2": 0.98,
+                "eps": 1e-9, "weight_decay": 0.0, "lr_schedule": "Constant",
+                "lr_value": 1e-3, "mixed_precision": True,
+            },
+            "decoding_params": {},
+        }
+    )
+    model, loss_fn = factory.create_model(cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 1600)), jnp.float32)
+    x_len = jnp.array([1600, 1200])
+    y = jnp.array([[1, 2, 3], [4, 5, 0]])
+    y_len = jnp.array([3, 2])
+    variables = model.init(jax.random.PRNGKey(1), x, y, x_len, y_len, False)
+    assert all(
+        l.dtype == jnp.float32
+        for l in jax.tree.leaves(variables["params"])
+    )
+
+    logits, f_len = model.apply(variables, x, y, x_len, y_len, False)
+    assert logits.dtype == jnp.bfloat16
+    loss = loss_fn((logits, f_len),
+                   {"labels": y, "label_len": y_len})
+    assert np.isfinite(float(loss))
+
+    # decode step path: fp32 prediction net + joint (reference parity)
+    carry = model.apply(variables, 2, method=Transducer.decoder_init_carry)
+    g, _ = model.apply(
+        variables, jnp.zeros((2,), jnp.int32), carry,
+        method=Transducer.decode_step,
+    )
+    assert g.dtype == jnp.float32
+    step_logits = model.apply(
+        variables, jnp.zeros((2, TINY_ENC["dim_model"]), jnp.float32), g,
+        method=Transducer.joint_step,
+    )
+    assert step_logits.dtype == jnp.float32
