@@ -41,17 +41,38 @@ def _xavier_bias_init(num_heads: int, dim_head: int):
     return init
 
 
-def _use_fused(fused: Optional[bool], q, k) -> bool:
-    """Resolve the fused-kernel flag: None = auto (Pallas on TPU backends).
-    Shapes beyond the single-block VMEM budget use the key-tiled flash
-    variant, so size no longer gates the decision."""
+def _use_fused(fused: Optional[bool], q, k, v) -> bool:
+    """Resolve the fused-kernel flag. None = auto, measured policy (v5e,
+    scripts/train_bench.py + bench.py + scripts/flash_sweep.py):
+
+    * within the single-block VMEM budget — the shipped-config regime after
+      progressive downsampling (N <= ~1k) — XLA's fused attention wins on
+      both paths (inference 25.2k vs 21.9k RT on CTC Small greedy; training
+      115 vs 134 ms/step on CTC Large b=8, 514 vs 655 at b=32: XLA stores
+      the softmax for backward instead of recomputing, the right trade at
+      these sizes), so auto picks the jnp path;
+    * beyond the VMEM budget (long-form audio, no-downsampling Conformers,
+      N >= ~2k) the key-tiled flash kernel wins 1.5-2x, so auto dispatches
+      to Pallas.
+
+    ECF_FUSED_ATTENTION=0/1 overrides for A/B measurement."""
     if fused is False:
         return False
     if fused is True:
         return True
+    import os
+
+    env = os.environ.get("ECF_FUSED_ATTENTION")
+    if env is not None:
+        return env not in ("0", "false", "off")
     import jax
 
-    return jax.default_backend() not in ("cpu",)
+    if jax.default_backend() in ("cpu",):
+        return False
+    from efficientconformer_tpu.ops import pallas_attention as PA
+
+    d = max(q.shape[-1], v.shape[-1])
+    return not PA.fits_vmem(q.shape[-2], k.shape[-2], d)
 
 
 def _attend(q, k, v, bias, scale, fused: Optional[bool]):
@@ -64,7 +85,7 @@ def _attend(q, k, v, bias, scale, fused: Optional[bool]):
 
     if bias is None:
         bias = jnp.zeros((1, 1, 1, k.shape[2]), jnp.float32)
-    if _use_fused(fused, q, k):
+    if _use_fused(fused, q, k, v):
         return PA.fused_bias_attention(q, k, v, bias, scale)
     s = jnp.matmul(q, jnp.swapaxes(k, -1, -2)) * scale
     o, _ = A.softmax_attention(s + bias.astype(s.dtype), v)

@@ -108,6 +108,64 @@ def _greedy_decode_impl(
     variables, x, x_len, *, model, max_tokens, max_consec_dec_steps
 ):
     f, f_len, _ = model.apply(variables, x, x_len, False, method=Transducer.encode)
+    state = _greedy_init_state(model, variables, f.shape[0], max_tokens)
+    out = _greedy_frames_loop(
+        variables, f, f_len, state, model=model, max_tokens=max_tokens,
+        max_consec_dec_steps=max_consec_dec_steps,
+    )
+    return out["tokens"], out["n_tok"]
+
+
+def _greedy_init_state(model, variables, b: int, max_tokens: int):
+    carry0 = model.apply(variables, b, method=Transducer.decoder_init_carry)
+    g0, carry0 = model.apply(
+        variables, jnp.zeros((b,), jnp.int32), carry0,
+        method=Transducer.decode_step,
+    )
+    return dict(
+        consec=jnp.zeros((b,), jnp.int32),
+        g=g0,
+        carry=carry0,
+        tokens=jnp.zeros((b, max_tokens), jnp.int32),
+        n_tok=jnp.zeros((b,), jnp.int32),
+    )
+
+
+def greedy_decode_stream(
+    model,
+    variables,
+    f: jnp.ndarray,
+    f_len: jnp.ndarray,
+    state=None,
+    *,
+    max_tokens: int,
+    max_consec_dec_steps: int = 5,
+):
+    """Chunk-streaming variant of the greedy loop: decodes the encoder frames
+    ``f`` starting from a carried ``state`` (decoder carry, last decoder
+    output, consecutive-emission counter, token buffer) and returns the new
+    state. Frame-sequential per sample, so running chunk-by-chunk produces
+    exactly the full-utterance decode (used by streaming.StreamingTransducer)."""
+    if state is None:
+        state = _greedy_init_state(model, variables, f.shape[0], max_tokens)
+    key = (id(model), max_tokens, max_consec_dec_steps, "stream")
+    fn = _DECODE_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(
+            functools.partial(
+                _greedy_frames_loop,
+                model=model,
+                max_tokens=max_tokens,
+                max_consec_dec_steps=max_consec_dec_steps,
+            )
+        )
+        _DECODE_CACHE[key] = fn
+    return fn(variables, f, f_len, state)
+
+
+def _greedy_frames_loop(
+    variables, f, f_len, init, *, model, max_tokens, max_consec_dec_steps
+):
     b = f.shape[0]
 
     def dec_step(tok, carry):
@@ -116,17 +174,7 @@ def _greedy_decode_impl(
     def joint_step(f_t, g_t):
         return model.apply(variables, f_t, g_t, method=Transducer.joint_step)
 
-    carry0 = model.apply(variables, b, method=Transducer.decoder_init_carry)
-    g0, carry0 = dec_step(jnp.zeros((b,), jnp.int32), carry0)
-
-    state = dict(
-        t=jnp.zeros((b,), jnp.int32),
-        consec=jnp.zeros((b,), jnp.int32),
-        g=g0,
-        carry=carry0,
-        tokens=jnp.zeros((b, max_tokens), jnp.int32),
-        n_tok=jnp.zeros((b,), jnp.int32),
-    )
+    state = dict(t=jnp.zeros((b,), jnp.int32), **init)
 
     def cond(s):
         return jnp.any(s["t"] < f_len)
@@ -168,7 +216,8 @@ def _greedy_decode_impl(
         )
 
     out = jax.lax.while_loop(cond, body, state)
-    return out["tokens"], out["n_tok"]
+    out.pop("t")
+    return out
 
 
 def _bcast(emit: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
