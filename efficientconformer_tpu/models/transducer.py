@@ -138,16 +138,21 @@ def greedy_decode_stream(
     f_len: jnp.ndarray,
     state=None,
     *,
+    f_start=None,
     max_tokens: int,
     max_consec_dec_steps: int = 5,
 ):
     """Chunk-streaming variant of the greedy loop: decodes the encoder frames
-    ``f`` starting from a carried ``state`` (decoder carry, last decoder
-    output, consecutive-emission counter, token buffer) and returns the new
-    state. Frame-sequential per sample, so running chunk-by-chunk produces
-    exactly the full-utterance decode (used by streaming.StreamingTransducer)."""
+    ``f[:, f_start:f_len]`` (per sample) starting from a carried ``state``
+    (decoder carry, last decoder output, consecutive-emission counter, token
+    buffer) and returns the new state. Frame-sequential per sample, so
+    running chunk-by-chunk produces exactly the full-utterance decode;
+    ``f`` can stay on device as a whole streaming window
+    (streaming.StreamingTransducer)."""
     if state is None:
         state = _greedy_init_state(model, variables, f.shape[0], max_tokens)
+    if f_start is None:
+        f_start = jnp.zeros((f.shape[0],), jnp.int32)
     key = (id(model), max_tokens, max_consec_dec_steps, "stream")
     fn = _DECODE_CACHE.get(key)
     if fn is None:
@@ -160,11 +165,12 @@ def greedy_decode_stream(
             )
         )
         _DECODE_CACHE[key] = fn
-    return fn(variables, f, f_len, state)
+    return fn(variables, f, f_len, state, f_start)
 
 
 def _greedy_frames_loop(
-    variables, f, f_len, init, *, model, max_tokens, max_consec_dec_steps
+    variables, f, f_len, init, f_start=None, *, model, max_tokens,
+    max_consec_dec_steps
 ):
     b = f.shape[0]
 
@@ -174,7 +180,8 @@ def _greedy_frames_loop(
     def joint_step(f_t, g_t):
         return model.apply(variables, f_t, g_t, method=Transducer.joint_step)
 
-    state = dict(t=jnp.zeros((b,), jnp.int32), **init)
+    t0 = jnp.zeros((b,), jnp.int32) if f_start is None else f_start
+    state = dict(t=t0, **init)
 
     def cond(s):
         return jnp.any(s["t"] < f_len)

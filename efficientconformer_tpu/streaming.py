@@ -111,13 +111,36 @@ def suggested_history_frames(p: dict) -> int:
 
 
 @dataclass
+class Emission:
+    """One window's worth of encoder output. ``frames`` is the DEVICE array
+    for the whole window; the new frames are the local range
+    ``[first, last)``, at absolute output-frame position ``start``. Consumers
+    that stay on device (transducer decode) index ``frames`` directly; host
+    consumers use ``valid`` (fetches only the emitted slice)."""
+
+    frames: object               # device array (B, window_frames, ...)
+    first: int
+    last: int
+    start: int                   # absolute frame index of `first`
+
+    @property
+    def valid(self) -> np.ndarray:
+        return np.asarray(self.frames[:, self.first : self.last])
+
+
+@dataclass
 class StreamingEncoderSession:
     """Overlap-save streaming wrapper around any ``(audio, x_len) ->
-    (frames, f_len, ...)`` encoder function.
+    (frames, ...)`` encoder function.
 
-    ``encode_fn`` is jit-compiled by the caller (or plain; shapes are static
-    per session so jit caches one executable). Frame counts are in encoder
-    *output* frames; sizes are converted to samples internally.
+    The rolling window lives ON DEVICE: each step uploads only the new chunk
+    of samples and shifts the device buffer inside one jit program (host->
+    device traffic per chunk is the chunk, not the window — through a
+    tunnelled chip this is the difference between ~2.5 s and ~40 ms per
+    step; on any host it is the minimal-transfer design). ``encode_fn`` may
+    return anything whose leading result has a (B, frames, ...) layout —
+    e.g. logits, encoder frames, or device argmax ids. Frame counts are in
+    encoder *output* frames; sizes are converted to samples internally.
     """
 
     encode_fn: Callable         # (audio (B, T), x_len (B,)) -> (frames, ...)
@@ -135,19 +158,22 @@ class StreamingEncoderSession:
         if self.history_frames is None:
             self.history_frames = suggested_history_frames(p)
         self.align = _base_alignment(p)
-        # round history UP so aligned bases never shrink the margin
+        # round history and chunk UP to the tiling alignment: then the window
+        # base advances by exactly chunk_frames per step and the device
+        # buffer shifts by a constant chunk_samples (one compiled program)
         self.history_frames = -(-self.history_frames // self.align) * self.align
+        self.chunk_frames = -(-self.chunk_frames // self.align) * self.align
         self.window_frames = (
             self.history_frames + self.chunk_frames + self.lookahead_frames
         )
-        assert self.chunk_frames >= self.align, (
-            f"chunk_frames must be >= the tiling alignment ({self.align})"
-        )
         w_mel = self.window_frames * self.stride
         self.window_samples = (w_mel - 1) * self.hop
-        self._buf = np.zeros((self.batch_size, 0), np.float32)
-        self._buf_start = 0      # absolute sample index of _buf[:, 0]
+        self.chunk_samples = self.chunk_frames * self.samples_per_frame
+        self._staged = np.zeros((self.batch_size, 0), np.float32)  # not uploaded
         self._received = 0       # samples pushed so far
+        self._uploaded = 0       # absolute end of the device window
+        self._dev_buf = None     # device (B, window_samples) rolling window
+        self._step_fn = None
         self.emitted = 0         # output frames emitted so far
         self.finished = False
 
@@ -158,19 +184,49 @@ class StreamingEncoderSession:
         return (b // self.align) * self.align
 
     def _need_samples(self, base: int) -> int:
-        """Samples required (absolute) to run the window starting at
-        output frame ``base``."""
+        """Absolute sample count required to run the window at ``base``."""
         return base * self.samples_per_frame + self.window_samples
+
+    # ---------------------------------------------------------------- device
+
+    def _take_staged(self, n: int) -> np.ndarray:
+        """Pop ``n`` samples from the staging buffer, zero-padding past the
+        end of the received stream (finish-time tail windows)."""
+        take = self._staged[:, :n]
+        self._staged = self._staged[:, n:]
+        if take.shape[1] < n:
+            take = np.pad(take, ((0, 0), (0, n - take.shape[1])))
+        return take
+
+    def _advance_device_window(self, base: int):
+        """Bring the device buffer to cover [base*spf, base*spf + window)."""
+        target_end = self._need_samples(base)
+        if self._dev_buf is None:
+            window = self._take_staged(self.window_samples)
+            self._dev_buf = jnp.asarray(window)
+            self._uploaded = target_end
+            return
+        while self._uploaded < target_end:
+            delta = min(self.chunk_samples, target_end - self._uploaded)
+            chunk = jnp.asarray(self._take_staged(delta))
+            if self._step_fn is None:
+                self._step_fn = jax.jit(
+                    lambda buf, new: jnp.concatenate(
+                        [buf[:, new.shape[1] :], new], axis=1
+                    )
+                )
+            self._dev_buf = self._step_fn(self._dev_buf, chunk)
+            self._uploaded += delta
 
     # ---------------------------------------------------------------- push
 
     def push(self, samples: np.ndarray):
-        """Feed (B, n) new samples; returns a list of (frames (B, c, D),
-        start_frame) emissions (possibly empty, possibly several)."""
+        """Feed (B, n) new samples; returns a list of ``Emission``s
+        (possibly empty, possibly several)."""
         assert not self.finished
         samples = np.atleast_2d(np.asarray(samples, np.float32))
         assert samples.shape[0] == self.batch_size
-        self._buf = np.concatenate([self._buf, samples], axis=1)
+        self._staged = np.concatenate([self._staged, samples], axis=1)
         self._received += samples.shape[1]
         out = []
         while True:
@@ -178,11 +234,6 @@ class StreamingEncoderSession:
             if self._need_samples(base) > self._received:
                 break
             out.append(self._run_window(base, x_len=None))
-        # drop samples the (monotonic) window start can no longer reach
-        keep_from = self._base() * self.samples_per_frame
-        if keep_from > self._buf_start:
-            self._buf = self._buf[:, keep_from - self._buf_start :]
-            self._buf_start = keep_from
         return out
 
     def finish(self, x_len: Optional[np.ndarray] = None):
@@ -206,19 +257,13 @@ class StreamingEncoderSession:
     # ---------------------------------------------------------------- window
 
     def _run_window(self, base: int, x_len, total_out: Optional[int] = None):
+        self._advance_device_window(base)
         s0 = base * self.samples_per_frame
-        rel = s0 - self._buf_start
-        assert rel >= 0, "window start trimmed away (emitted went backwards?)"
-        window = self._buf[:, rel : rel + self.window_samples]
-        if window.shape[1] < self.window_samples:
-            window = np.pad(
-                window, ((0, 0), (0, self.window_samples - window.shape[1]))
-            )
         if x_len is None:
             w_len = np.full((self.batch_size,), self.window_samples, np.int64)
         else:
             w_len = np.clip(x_len - s0, 0, self.window_samples)
-        res = self.encode_fn(jnp.asarray(window), jnp.asarray(w_len))
+        res = self.encode_fn(self._dev_buf, jnp.asarray(w_len))
         frames = res[0] if isinstance(res, (tuple, list)) else res
 
         first = self.emitted - base                       # local emit start
@@ -226,10 +271,9 @@ class StreamingEncoderSession:
             last = total_out - base                       # final window: tail
         else:
             last = self.window_frames - self.lookahead_frames
-        emit = np.asarray(frames[:, first:last])
-        start = self.emitted
+        em = Emission(frames=frames, first=first, last=last, start=self.emitted)
         self.emitted = base + last
-        return emit, start
+        return em
 
 
 # ---------------------------------------------------------------------------
@@ -240,7 +284,10 @@ class StreamingEncoderSession:
 @dataclass
 class StreamingCTC:
     """Streaming greedy CTC: session emissions -> incremental collapse
-    (reference decode semantics, model_ctc.py:90-136, carried across chunks)."""
+    (reference decode semantics, model_ctc.py:90-136, carried across chunks).
+    If ``encode_fn`` returns logits, argmax runs on device and only the
+    emitted id slice is fetched; an ``encode_fn`` that already returns
+    argmax ids (B, frames) works too and fetches even less."""
 
     session: StreamingEncoderSession
     _prev: np.ndarray = field(init=False, default=None)
@@ -252,11 +299,14 @@ class StreamingCTC:
         self.tokens = [[] for _ in range(b)]
 
     def _consume(self, emissions, caps=None):
-        for frames, start in emissions:
-            preds = np.argmax(frames, axis=-1)            # (B, c)
+        for em in emissions:
+            ids = em.frames
+            if ids.ndim == 3:
+                ids = jnp.argmax(ids, axis=-1)            # on device
+            preds = np.asarray(ids[:, em.first : em.last])  # fetch ints only
             for i in range(preds.shape[0]):
                 cap = preds.shape[1] if caps is None else min(
-                    preds.shape[1], caps[i] - start
+                    preds.shape[1], caps[i] - em.start
                 )
                 for t in range(max(cap, 0)):
                     tok = int(preds[i, t])
@@ -297,16 +347,21 @@ class StreamingTransducer:
     def _consume(self, emissions, caps=None):
         from efficientconformer_tpu.models.transducer import greedy_decode_stream
 
-        for frames, start in emissions:
+        for em in emissions:
+            b = em.frames.shape[0]
+            # frames stay on device: the decode loop walks the window's
+            # [first, last) range via f_start / f_len
+            f_start = jnp.full((b,), em.first, jnp.int32)
             if caps is None:
-                f_len = jnp.full((frames.shape[0],), frames.shape[1], jnp.int32)
+                f_len = jnp.full((b,), em.last, jnp.int32)
             else:
                 f_len = jnp.clip(
-                    jnp.asarray(caps, jnp.int32) - start, 0, frames.shape[1]
+                    jnp.asarray(caps, jnp.int32) - (em.start - em.first),
+                    em.first, em.last,
                 )
             self._state = greedy_decode_stream(
-                self.model, self.variables, jnp.asarray(frames), f_len,
-                self._state, max_tokens=self.max_tokens,
+                self.model, self.variables, em.frames, f_len,
+                self._state, f_start=f_start, max_tokens=self.max_tokens,
                 max_consec_dec_steps=self.max_consec_dec_steps,
             )
 

@@ -54,7 +54,10 @@ def main():
     ) * 0.1
     x_len = jnp.full((args.batch,), sess.window_samples, jnp.int32)
     variables = model.init(jax.random.PRNGKey(0), warm[:1], x_len[:1])
-    encode = jax.jit(lambda a, l: model.apply(variables, a, l, False))
+    # argmax on device: the per-chunk fetch is (B, chunk) int32 token ids
+    encode = jax.jit(
+        lambda a, l: jnp.argmax(model.apply(variables, a, l, False)[0], -1)
+    )
     sess.encode_fn = encode
 
     dec = S.StreamingCTC(sess)

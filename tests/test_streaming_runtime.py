@@ -69,9 +69,8 @@ def test_streaming_ctc_matches_batch_forward():
     emissions += sess.push(np.asarray(audio[:, pos:]))
     emissions += sess.finish(np.asarray(x_len))
 
-    got = np.concatenate([f for f, _ in emissions], axis=1)
-    starts = [s for _, s in emissions]
-    assert starts[0] == 0
+    got = np.concatenate([em.valid for em in emissions], axis=1)
+    assert emissions[0].start == 0
     total_out = encoder_output_frames(CAUSAL_ENC, int(x_len.max()))
     assert got.shape[1] == total_out
 
@@ -154,5 +153,5 @@ def test_streaming_noncausal_smoke():
         chunk_frames=8, history_frames=32, lookahead_frames=8,
     )
     ems = sess.push(np.asarray(audio)) + sess.finish(np.asarray(x_len))
-    got = np.concatenate([f for f, _ in ems], axis=1)
+    got = np.concatenate([em.valid for em in ems], axis=1)
     assert got.shape[1] == encoder_output_frames(enc, t)
