@@ -136,6 +136,48 @@ def test_streaming_transducer_matches_full_greedy():
         assert toks[i, : n[i]].tolist() == np.asarray(full_toks)[i, : n[i]].tolist()
 
 
+def test_streaming_local_attention_exact():
+    """Causal local (blockwise) attention: window starts must also align to
+    the K-frame tiling; exactness holds like the grouped case."""
+    enc = dict(
+        TINY_ENC,
+        num_blocks=2,
+        dim_model=16,
+        num_heads=2,
+        kernel_size=7,
+        att_kernel_size=4,
+        causal=True,
+        left_context=8,
+    )
+    model = ModelCTC(encoder_params=enc, vocab_size=9)
+    b, t = 1, 24000
+    audio = jnp.asarray(
+        np.random.default_rng(7).standard_normal((b, t)), jnp.float32
+    ) * 0.1
+    x_len = jnp.array([t])
+    variables = model.init(jax.random.PRNGKey(4), audio, x_len)
+    encode = jax.jit(lambda a, l: model.apply(variables, a, l, False))
+
+    sess = S.StreamingEncoderSession(
+        encode_fn=encode, encoder_params=enc, batch_size=b,
+        chunk_frames=8, lookahead_frames=2,
+    )
+    assert sess.align % 2 == 0   # K=4 at 2 stage-frames/output -> align 2
+    ems = sess.push(np.asarray(audio)) + sess.finish(np.asarray(x_len))
+    got = np.concatenate([em.valid for em in ems], axis=1)
+
+    pad = np.zeros((b, sess.window_samples), np.float32)
+    want, _, _ = model.apply(
+        variables, jnp.concatenate([audio, jnp.asarray(pad)], axis=1),
+        x_len, False,
+    )
+    cap = encoder_output_frames(enc, t)
+    assert got.shape[1] == cap
+    np.testing.assert_allclose(
+        got[0], np.asarray(want)[0, :cap], rtol=2e-5, atol=2e-5
+    )
+
+
 def test_streaming_noncausal_smoke():
     """Non-causal configs stream too (approximate near chunk edges): the
     session must run and emit the full frame count."""
