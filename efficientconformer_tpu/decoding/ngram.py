@@ -94,11 +94,23 @@ class ArpaLM:
         return self.score_word(state, self.token_word(token_id))
 
 
+_LOAD_CACHE: dict = {}
+
+
 def try_load(path: Optional[str], ngram_offset: int = 100) -> Optional[ArpaLM]:
+    """Load an ARPA model, memoised by (path, offset): the evaluation loop
+    calls this per batch, and downstream device scorers key jit caches on
+    the returned object's identity — a fresh parse per batch would both
+    re-read the file and silently force beam re-traces."""
     if not path:
         return None
+    key = (path, ngram_offset)
+    if key in _LOAD_CACHE:
+        return _LOAD_CACHE[key]
     try:
-        return ArpaLM(path, ngram_offset)
+        lm = ArpaLM(path, ngram_offset)
     except (FileNotFoundError, OSError):
         print("Ngram language model not found...")
-        return None
+        lm = None
+    _LOAD_CACHE[key] = lm
+    return lm

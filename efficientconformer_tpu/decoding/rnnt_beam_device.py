@@ -73,11 +73,30 @@ def beam_search_device(
     lm_variables=None,
     lm_weight: float = 0.0,
     lm_tmp: float = 1.0,
+    ngram=None,
+    ngram_alpha: float = 0.0,
+    ngram_beta: float = 0.0,
 ) -> List[List[int]]:
-    """Returns decoded token id sequences (list per batch element)."""
+    """Returns decoded token id sequences (list per batch element).
+
+    ``ngram`` is a decoding.ngram_device.DeviceNgram (an ArpaLM is converted
+    automatically): kenlm-style rescoring of token extensions
+    (reference transducer.py:309-317) runs entirely on device. The LM state
+    is NOT threaded through the beam carries — it is rebuilt per pop from
+    the popped hypothesis's token buffer (DeviceNgram.context_node), which
+    is exact and avoids a measured ~150x nested-loop slowdown that ANY extra
+    carried per-slot array incurs on v5e."""
+    if ngram is not None and ngram_alpha:
+        from efficientconformer_tpu.decoding.ngram_device import as_device_ngram
+
+        ngram = as_device_ngram(ngram, model.vocab_size)
+    else:
+        ngram = None
     key = (id(model), beam_size, max_tokens,
            id(lm_model) if lm_model is not None else None,
-           float(lm_weight), float(lm_tmp), float(tmp))
+           float(lm_weight), float(lm_tmp), float(tmp),
+           id(ngram) if ngram is not None else None,
+           float(ngram_alpha), float(ngram_beta))
     fn = _CACHE.get(key)
     if fn is None:
         fn = jax.jit(
@@ -90,6 +109,9 @@ def beam_search_device(
                 lm_model=lm_model,
                 lm_weight=lm_weight,
                 lm_tmp=lm_tmp,
+                ngram=ngram,
+                ngram_alpha=ngram_alpha,
+                ngram_beta=ngram_beta,
             )
         )
         _CACHE[key] = fn
@@ -169,12 +191,22 @@ def _pad_slots(tree, pad):
 
 
 def _beam_impl(variables, lm_variables, x, x_len, *, model, beam_size, tmp,
-               max_tokens, lm_model, lm_weight, lm_tmp):
+               max_tokens, lm_model, lm_weight, lm_tmp,
+               ngram=None, ngram_alpha=0.0, ngram_beta=0.0):
     f, f_len, _ = model.apply(variables, x, x_len, False, method=Transducer.encode)
     b = f.shape[0]
     w = beam_size
     cap = w + w * w                     # frame-initial W + W children per pop
     use_lm = lm_model is not None and lm_weight
+    use_ng = ngram is not None and ngram_alpha
+    if use_ng:
+        # exact static upper bound on one extension's n-gram contribution,
+        # for the blank-coasting predicate
+        ng_bound = ngram_beta + (
+            ngram_alpha * ngram.score_max
+            if ngram_alpha >= 0
+            else ngram_alpha * ngram.score_min
+        )
 
     dec_template = model.apply(variables, b, method=Transducer.decoder_init_carry)
     dec_moved = _moved_flags(dec_template, b)
@@ -256,6 +288,8 @@ def _beam_impl(variables, lm_variables, x, x_len, *, model, beam_size, tmp,
         n_f = bm["n_tok"].astype(jnp.float32)
         prio = jnp.where(valid, bm["score"] / (1.0 + n_f), NEG)
         best_tok_lp = jnp.max(fused0[..., 1:], axis=-1)
+        if use_ng:
+            best_tok_lp = best_tok_lp + ng_bound
         child_prio = jnp.where(
             valid & (bm["n_tok"] < max_tokens),
             (bm["score"] + best_tok_lp) / (2.0 + n_f),
@@ -368,6 +402,17 @@ def _beam_impl(variables, lm_variables, x, x_len, *, model, beam_size, tmp,
             # their lagging carry is the popped hyp's post-replay carry
             tok_lp, toks = jax.lax.top_k(logp[:, 1:], w)   # (B, W)
             toks = toks + 1
+            if use_ng:
+                # kenlm-style rescoring of the chosen extensions (host
+                # rnnt_beam.py / reference transducer.py:309-317: applied
+                # AFTER top-k candidate selection, to each created hyp).
+                # Context node rebuilt from the popped token buffer — no LM
+                # state in the beam carries (see beam_search_device).
+                ctx = ngram.context_node(popped["tokens"], popped["n_tok"])
+                ng_sc = ngram.score_from(
+                    jnp.broadcast_to(ctx[:, None], (b, w)), toks
+                )
+                tok_lp = tok_lp + ngram_alpha * ng_sc + ngram_beta
             child_scores = jnp.where(
                 (popped["n_tok"] < max_tokens)[:, None],
                 popped["score"][:, None] + tok_lp,

@@ -103,12 +103,21 @@ def decode_batch(trainer: Trainer, state, batch, tokenizer,
                 )
             ngram = try_load(dp.get("ngram_path"), dp.get("ngram_offset", 100))
             use_ngram = ngram is not None and dp.get("ngram_alpha", 0.0)
-            if not use_ngram:
+            if not os.environ.get("ECF_HOST_BEAM"):
                 # Default path: one jit program, zero host round trips.
+                # N-gram rescoring runs on device too (packed ARPA tables,
+                # decoding/ngram_device.py).
                 from efficientconformer_tpu.decoding.rnnt_beam_device import (
                     beam_search_device,
                 )
 
+                ng_kwargs = {}
+                if use_ngram:
+                    ng_kwargs = dict(
+                        ngram=ngram,
+                        ngram_alpha=dp.get("ngram_alpha", 0.0),
+                        ngram_beta=dp.get("ngram_beta", 0.0),
+                    )
                 token_lists = beam_search_device(
                     trainer.model, variables,
                     jnp.asarray(batch["audio"]),
@@ -118,13 +127,13 @@ def decode_batch(trainer: Trainer, state, batch, tokenizer,
                     max_tokens=greedy_token_cap(
                         trainer.config, batch["audio"].shape[1], max_consec
                     ),
-                    **lm_kwargs,
+                    **lm_kwargs, **ng_kwargs,
                 )
                 return tokenizer.decode(token_lists)
 
-            # Host-orchestrated n-gram fusion (ARPA state machine on host);
-            # growing-KV-cache Transformer LMs additionally force the
-            # per-sample variant.
+            # Host-orchestrated fallback (ECF_HOST_BEAM=1): the
+            # reference-semantics oracle, kept for A/B measurement; the
+            # per-sample variant serves LMs without fixed-shape carries.
             from efficientconformer_tpu.decoding.rnnt_beam import (
                 beam_search,
                 beam_search_batched,

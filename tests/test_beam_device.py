@@ -80,3 +80,34 @@ def test_device_beam_with_rnn_lm_fusion(trained_transducer):
     got = beam_search_device(model, variables, x, x_len, beam_size=3,
                              max_tokens=32, **kw)
     assert got == want
+
+
+def test_device_beam_with_ngram_rescoring(trained_transducer, tmp_path):
+    """Device beam with the device-resident ARPA scorer must equal the host
+    beam with the host ArpaLM, pop for pop (kenlm rescoring semantics,
+    reference transducer.py:309-317)."""
+    model, variables, x, x_len = trained_transducer
+    p = tmp_path / "lm.arpa"
+    # bigram over the token chars (offset 100) incl. backoffs
+    uni = "\n".join(
+        f"-{0.4 + 0.1 * i:.1f}\t{chr(i + 100)}\t-0.3" for i in range(1, 9)
+    )
+    bi = "-0.2\t" + chr(103) + " " + chr(105) + "\n-0.3\t" + chr(
+        105
+    ) + " " + chr(102)
+    p.write_text(
+        "\\data\\\nngram 1=8\nngram 2=2\n\n\\1-grams:\n" + uni +
+        "\n\n\\2-grams:\n" + bi + "\n\n\\end\\\n"
+    )
+    from efficientconformer_tpu.decoding.ngram import ArpaLM
+
+    arpa = ArpaLM(str(p), 100)
+    kw = dict(ngram_alpha=0.5, ngram_beta=0.3)
+    want = beam_search_batched(
+        model, variables, x, x_len, beam_size=3, ngram=arpa, **kw
+    )
+    got = beam_search_device(
+        model, variables, x, x_len, beam_size=3, max_tokens=32,
+        ngram=arpa, **kw
+    )
+    assert got == want

@@ -1,0 +1,117 @@
+"""Device ARPA scorer vs the host ArpaLM oracle (decoding/ngram.py)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from efficientconformer_tpu.decoding.ngram import ArpaLM
+from efficientconformer_tpu.decoding.ngram_device import DeviceNgram
+
+from tests.test_decoding import ARPA
+
+
+def write_arpa(tmp_path, text):
+    p = tmp_path / "lm.arpa"
+    p.write_text(text)
+    return str(p)
+
+
+TRIGRAM = """\\data\\
+ngram 1=5
+ngram 2=5
+ngram 3=3
+
+\\1-grams:
+-1.0\t<s>\t-0.5
+-0.8\ta\t-0.3
+-1.2\tb\t-0.2
+-1.5\tc\t-0.1
+-2.0\td
+
+\\2-grams:
+-0.2\t<s> a\t-0.4
+-0.4\ta b\t-0.25
+-0.6\tb a\t-0.15
+-0.7\tb c\t0.1
+-0.9\tc a
+
+\\3-grams:
+-0.1\t<s> a b
+-0.3\ta b a
+-0.5\tb a b
+
+\\end\\
+"""
+
+
+@pytest.mark.parametrize("text,offset", [(ARPA, 0), (TRIGRAM, 0)])
+def test_device_matches_host_on_random_walks(tmp_path, text, offset):
+    """Random token walks: every step's score AND the resulting state
+    behaviour must match the host scorer (state equality is checked
+    behaviourally — identical scores forever after)."""
+    path = write_arpa(tmp_path, text)
+    host = ArpaLM(path, ngram_offset=offset)
+    vocab = 8
+    dev = DeviceNgram(host, vocab_size=vocab)
+
+    rng = np.random.default_rng(0)
+    n_walks, steps = 16, 12
+    toks = rng.integers(0, vocab, (n_walks, steps))
+
+    # host: sequential per walk
+    want = np.zeros((n_walks, steps))
+    for i in range(n_walks):
+        st = host.start_state()
+        for j in range(steps):
+            sc, st = host.score(st, int(toks[i, j]))
+            want[i, j] = sc
+
+    # device: vectorised over walks
+    node = dev.start_state((n_walks,))
+    got = np.zeros((n_walks, steps))
+    for j in range(steps):
+        sc, node = dev.score(node, jnp.asarray(toks[:, j]))
+        got[:, j] = np.asarray(sc)
+
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_context_node_rebuild_matches_incremental(tmp_path):
+    """context_node (rebuild from a token buffer) must reach the same state
+    as incremental advance from <s> — checked behaviourally: identical
+    scores for every next token."""
+    path = write_arpa(tmp_path, TRIGRAM)
+    host = ArpaLM(path, ngram_offset=0)
+    dev = DeviceNgram(host, vocab_size=8)
+
+    rng = np.random.default_rng(3)
+    n_walks, steps = 8, 9
+    toks = rng.integers(0, 8, (n_walks, steps))
+
+    node = dev.start_state((n_walks,))
+    buf = np.zeros((n_walks, steps), np.int32)
+    for j in range(steps):
+        buf[:, j] = toks[:, j]
+        node = dev.advance_node(node, jnp.asarray(toks[:, j]))
+        rebuilt = dev.context_node(
+            jnp.asarray(buf), jnp.full((n_walks,), j + 1, jnp.int32)
+        )
+        for probe in range(8):
+            p = jnp.full((n_walks,), probe, jnp.int32)
+            np.testing.assert_allclose(
+                np.asarray(dev.score_from(rebuilt, p)),
+                np.asarray(dev.score_from(node, p)),
+                rtol=1e-6, atol=1e-6,
+            )
+
+
+def test_device_score_bounds(tmp_path):
+    path = write_arpa(tmp_path, TRIGRAM)
+    host = ArpaLM(path, ngram_offset=0)
+    dev = DeviceNgram(host, vocab_size=8)
+    rng = np.random.default_rng(1)
+    node = dev.start_state((32,))
+    for j in range(6):
+        sc, node = dev.score(node, jnp.asarray(rng.integers(0, 8, (32,))))
+        assert float(jnp.max(sc)) <= dev.score_max + 1e-6
+        assert float(jnp.min(sc)) >= dev.score_min - 1e-6
