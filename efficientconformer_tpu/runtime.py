@@ -165,19 +165,38 @@ def decode_batch(trainer: Trainer, state, batch, tokenizer,
         )
     else:
         if beam_size > 1:
-            from efficientconformer_tpu.decoding.ctc_beam import beam_search_batch
-
             logits, logits_len, _ = trainer.model.apply(
                 variables, jnp.asarray(batch["audio"]),
                 jnp.asarray(batch["audio_len"]), False,
             )
-            logp = np.asarray(
-                jax.nn.log_softmax(
-                    logits.astype(jnp.float32) / dp.get("tmp", 1.0), axis=-1
-                )
+            logp = jax.nn.log_softmax(
+                logits.astype(jnp.float32) / dp.get("tmp", 1.0), axis=-1
             )
+            if not os.environ.get("ECF_HOST_BEAM"):
+                # Default path: prefix beam + n-gram entirely on device
+                # (frame-synchronous lax.scan, decoding/ctc_beam_device.py).
+                from efficientconformer_tpu.decoding.ctc_beam_device import (
+                    ctc_beam_search_device,
+                )
+                from efficientconformer_tpu.decoding.ngram import try_load
+
+                ngram = try_load(
+                    dp.get("ngram_path"), dp.get("ngram_offset", 100)
+                )
+                token_lists = ctc_beam_search_device(
+                    logp, logits_len, beam_size,
+                    ngram=ngram,
+                    alpha=dp.get("ngram_alpha", 0.0),
+                    beta=dp.get("ngram_beta", 0.0),
+                )
+                return tokenizer.decode(token_lists)
+
+            # host C++/Python beam (ECF_HOST_BEAM=1): reference-semantics
+            # oracle, also exposes ctcdecode's cutoff_top_n pruning
+            from efficientconformer_tpu.decoding.ctc_beam import beam_search_batch
+
             token_lists = beam_search_batch(
-                logp, np.asarray(logits_len), beam_size,
+                np.asarray(logp), np.asarray(logits_len), beam_size,
                 lm_path=dp.get("ngram_path"),
                 alpha=dp.get("ngram_alpha", 0.0),
                 beta=dp.get("ngram_beta", 0.0),
