@@ -26,13 +26,21 @@ UNK_PIECE = "<unk>"
 
 
 class BpeTokenizer:
-    def __init__(self, pieces: List[str], merges: List[Tuple[str, str]]):
+    def __init__(self, pieces: List[str], merges: List[Tuple[str, str]],
+                 piece_scores: "List[float] | None" = None,
+                 control_ids: "Iterable[int] | None" = None):
         self.pieces = pieces                       # index == id; pieces[0] == <unk>
         self.piece_to_id: Dict[str, int] = {p: i for i, p in enumerate(pieces)}
         self.merges = merges
         self.merge_rank: Dict[Tuple[str, str], int] = {
             tuple(m): i for i, m in enumerate(merges)
         }
+        # sentencepiece mode: no explicit merge list — a pair (a, b) merges iff
+        # a+b is in the vocab, with priority = score of the piece a+b (higher
+        # score merges first; the SP BPE runtime's rule, bpe_model.cc).
+        self.piece_scores = list(piece_scores) if piece_scores is not None else None
+        # ids decoded to "" beyond <unk> (sentencepiece CONTROL/UNUSED pieces)
+        self.control_ids = frozenset(control_ids or ())
         self._encode_cache: Dict[str, List[int]] = {}
         self._native = None
         self._native_tried = False
@@ -42,12 +50,13 @@ class BpeTokenizer:
         native library is unavailable."""
         if not self._native_tried:
             self._native_tried = True
-            try:
-                from efficientconformer_tpu.data import tokenizer_native
+            if self.merges and self.piece_scores is None:
+                try:
+                    from efficientconformer_tpu.data import tokenizer_native
 
-                self._native = tokenizer_native.NativeBpe(self.pieces, self.merges)
-            except Exception:
-                self._native = None
+                    self._native = tokenizer_native.NativeBpe(self.pieces, self.merges)
+                except Exception:
+                    self._native = None
         return self._native
 
     # ------------------------------------------------------------------ api
@@ -75,18 +84,34 @@ class BpeTokenizer:
         if len(ids) and isinstance(ids[0], (list, tuple)):
             return [self.decode(seq) for seq in ids]
         text = "".join(
-            self.pieces[i] if 0 < i < len(self.pieces) else "" for i in ids
+            self.pieces[i]
+            if 0 < i < len(self.pieces) and i not in self.control_ids
+            else ""
+            for i in ids
         )
         return text.replace(WORD_BOUNDARY, " ").strip()
 
     # ------------------------------------------------------------ internals
+
+    def _pair_priority(self, a: str, b: str):
+        """Merge priority of the adjacent pair (a, b); smaller merges first;
+        None if the pair cannot merge. Merge-list mode uses the merge rank;
+        sentencepiece mode uses -score of the concatenated piece (matching the
+        SP BPE runtime: any pair whose concatenation is in the vocab may
+        merge, best score first, leftmost on ties)."""
+        if self.piece_scores is not None:
+            pid = self.piece_to_id.get(a + b)
+            if pid is None:
+                return None
+            return -self.piece_scores[pid]
+        return self.merge_rank.get((a, b))
 
     def _encode_word(self, word: str) -> List[int]:
         symbols = list(word)
         while len(symbols) > 1:
             best_rank, best_i = None, -1
             for i in range(len(symbols) - 1):
-                r = self.merge_rank.get((symbols[i], symbols[i + 1]))
+                r = self._pair_priority(symbols[i], symbols[i + 1])
                 if r is not None and (best_rank is None or r < best_rank):
                     best_rank, best_i = r, i
             if best_rank is None:
@@ -97,15 +122,97 @@ class BpeTokenizer:
     # ---------------------------------------------------------- persistence
 
     def save(self, path: str) -> None:
+        """Persist the tokenizer. A ``.model`` path gets a real sentencepiece
+        ModelProto (loadable by the reference implementation and by the real
+        sentencepiece package, reference models/model.py:50); any other path
+        gets this framework's JSON format. ``load`` auto-detects both."""
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        if path.endswith(".model"):
+            with open(path, "wb") as f:
+                f.write(getattr(self, "_proto_bytes", None)
+                        or self.to_sentencepiece_bytes())
+            return
+        if self.piece_scores is not None:
+            raise ValueError(
+                "a sentencepiece-mode tokenizer has no merge list; save it "
+                "to a .model path instead")
         with open(path, "w") as f:
             json.dump({"pieces": self.pieces, "merges": self.merges}, f)
 
     @classmethod
     def load(cls, path: str) -> "BpeTokenizer":
-        with open(path) as f:
-            d = json.load(f)
+        """Load a tokenizer file — either this framework's JSON format or a
+        sentencepiece ``.model`` protobuf (the reference's published artifact,
+        reference models/model.py:50), auto-detected by content."""
+        with open(path, "rb") as f:
+            data = f.read()
+        from efficientconformer_tpu.data import spm_model
+
+        if spm_model.looks_like_model_proto(data):
+            return cls.from_sentencepiece(data)
+        d = json.loads(data.decode("utf-8"))
         return cls(d["pieces"], [tuple(m) for m in d["merges"]])
+
+    @classmethod
+    def from_sentencepiece(cls, source) -> "BpeTokenizer":
+        """Build from a sentencepiece BPE ``.model`` file (path or serialized
+        ModelProto bytes). Encoding follows the SP BPE runtime exactly:
+        greedy best-score adjacent merges over vocab membership. The
+        reference trains with bos/eos disabled and unk_surface="" (reference
+        utils/preprocessing.py:84); CONTROL pieces, if present, decode to ""."""
+        from efficientconformer_tpu.data import spm_model
+
+        if isinstance(source, (bytes, bytearray)):
+            data = bytes(source)
+        else:
+            with open(source, "rb") as f:
+                data = f.read()
+        model = spm_model.parse_model_proto(data)
+        if model.model_type not in (None, spm_model.MODEL_TYPE_BPE):
+            raise ValueError(
+                f"unsupported sentencepiece model_type {model.model_type} "
+                "(only BPE models are supported, matching the reference's "
+                "vocab_type='bpe' configs)"
+            )
+        control = [
+            i for i, t in enumerate(model.types)
+            if t in (spm_model.CONTROL, spm_model.UNUSED, spm_model.UNKNOWN)
+            and i != UNK_ID
+        ]
+        tok = cls(model.pieces, [], piece_scores=model.scores,
+                  control_ids=control)
+        tok._proto_bytes = data
+        return tok
+
+    def to_sentencepiece_bytes(self) -> bytes:
+        """Serialize as a sentencepiece ModelProto so the reference
+        implementation can load tokenizers trained by this framework.
+        Merge-list tokenizers get scores = -(merge rank) for merged pieces
+        (the SP BPE trainer's convention), chars get lower scores."""
+        from efficientconformer_tpu.data import spm_model
+
+        if self.piece_scores is not None:
+            scores = self.piece_scores
+        else:
+            merged_rank = {a + b: r for r, (a, b) in enumerate(self.merges)}
+            n_merges = len(self.merges)
+            scores = []
+            char_rank = 0
+            for i, p in enumerate(self.pieces):
+                if i == UNK_ID:
+                    scores.append(0.0)
+                elif p in merged_rank:
+                    scores.append(-float(merged_rank[p]))
+                else:
+                    scores.append(-float(n_merges + char_rank))
+                    char_rank += 1
+        types = [
+            spm_model.UNKNOWN if i == UNK_ID
+            else spm_model.CONTROL if i in self.control_ids
+            else spm_model.NORMAL
+            for i in range(len(self.pieces))
+        ]
+        return spm_model.serialize_model_proto(self.pieces, scores, types)
 
 
 def train_bpe_native(corpus_path: str, vocab_size: int,
