@@ -115,3 +115,47 @@ def import_reference():
     import models  # noqa: F401
 
     return sys.modules["models"]
+
+
+def import_reference_full():
+    """Import the reference's *task-model* modules (models.model_ctc,
+    models.transducer) so its own decode paths can be driven in-tree.
+
+    Beyond the torchaudio stub this needs placeholder modules for the native
+    deps the image lacks — ctcdecode / kenlm / warp_rnnt / jiwer — which the
+    reference imports at module scope but greedy decoding never calls
+    (reference model_ctc.py:35, transducer.py:50, losses.py:20,
+    model.py:29) — plus our sentencepiece shim so reference models/model.py:50
+    loads real tokenizers from .model files.
+    """
+    from efficientconformer_tpu.utils import spm_shim
+
+    spm_shim.install()
+
+    def _stub_module(name, **attrs):
+        if name in sys.modules:
+            return sys.modules[name]
+        mod = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(mod, k, v)
+        sys.modules[name] = mod
+        return mod
+
+    class _UnavailableBeamDecoder:
+        def __init__(self, *a, **k):
+            raise RuntimeError("ctcdecode stub: beam search unavailable")
+
+    _stub_module("ctcdecode", CTCBeamDecoder=_UnavailableBeamDecoder)
+    _stub_module("kenlm", Model=None)
+    _stub_module(
+        "warp_rnnt",
+        rnnt_loss=lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("warp_rnnt stub")),
+    )
+    _stub_module("jiwer", wer=lambda t, p: 0.0)
+
+    ref = import_reference()
+    import models.model_ctc  # noqa: F401
+    import models.transducer  # noqa: F401
+
+    return ref
