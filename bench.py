@@ -43,7 +43,7 @@ def build_model():
     return cfg, enc_params, model
 
 
-def bench_tpu_ctc_greedy():
+def bench_tpu_ctc_greedy(report: dict | None = None):
     import jax
     import jax.numpy as jnp
 
@@ -62,6 +62,12 @@ def bench_tpu_ctc_greedy():
         preds = jnp.argmax(logits, axis=-1)
         return ctc_greedy_collapse(preds, logits_len)
 
+    if report is not None:
+        from efficientconformer_tpu.utils import flops as F
+
+        report["flops_per_call"] = F.flops_of_fn(
+            decode, variables, audio, audio_len)
+
     # NB: block_until_ready does not synchronise on the tunnelled TPU platform,
     # so timing brackets a host fetch. All iterations are dispatched
     # asynchronously and only the last result is fetched: the device executes
@@ -76,6 +82,55 @@ def bench_tpu_ctc_greedy():
     np.asarray(tok), np.asarray(n)
     dt = time.perf_counter() - t0
     return BATCH * SECONDS * ITERS / dt
+
+
+def bench_train_step(config_name: str, batch: int, seconds: float,
+                     iters: int = 8) -> dict:
+    """One jitted train step (fwd+loss+bwd+update) for a shipped config on
+    synthetic data: ms/step, audio-s/s, exact matmul+conv FLOPs, MFU."""
+    import jax
+    import jax.numpy as jnp
+
+    from efficientconformer_tpu.config import load_config
+    from efficientconformer_tpu.training.trainer import Trainer
+    from efficientconformer_tpu.utils import flops as F
+
+    cfg = load_config(f"configs/{config_name}.json")
+    cfg.training_params["mixed_precision"] = True
+    cfg.training_params["accumulated_steps"] = 1
+
+    t_audio = int(16000 * seconds)
+    u = max(int(seconds * 5.0), 4)
+    rng = np.random.default_rng(0)
+    micro = {
+        "audio": (rng.standard_normal((batch, t_audio)) * 0.1).astype(np.float32),
+        "labels": rng.integers(1, cfg.vocab_size, (batch, u)).astype(np.int32),
+        "audio_len": np.full((batch,), t_audio, np.int32),
+        "label_len": np.full((batch,), u, np.int32),
+    }
+    trainer = Trainer(cfg)
+    state = trainer.init_state(micro)
+    step = trainer.train_step_fn()
+    dbatch = {k: jnp.asarray(v[None]) for k, v in micro.items()}
+    key = jax.random.PRNGKey(0)
+
+    state, metrics = step(state, dbatch, key)   # compile
+    float(metrics["loss"])
+    state, metrics = step(state, dbatch, key)   # warm
+    float(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, dbatch, key)
+    float(metrics["loss"])
+    dt = (time.perf_counter() - t0) / iters
+
+    step_flops = F.flops_of_fn(step, state, dbatch, key)
+    return {
+        "ms_per_step": dt * 1e3,
+        "audio_s_per_s": batch * seconds / dt,
+        "tflops_per_step": step_flops / 1e12,
+        "mfu": F.mfu(step_flops, dt, dtype="bfloat16"),
+    }
 
 
 BASELINE_CACHE = "bench_baseline.json"
@@ -166,11 +221,29 @@ def main():
                          "reference PyTorch CPU side")
     args = ap.parse_args()
 
-    rtf = bench_tpu_ctc_greedy()
+    report = {}
+    rtf = bench_tpu_ctc_greedy(report)
     ref_rtf = None if args.skip_baseline else bench_reference_torch_cpu(
         use_cache=not args.remeasure_baseline
     )
     vs = round(rtf / ref_rtf, 1) if ref_rtf else None
+
+    # inference MFU: flops of one decode call / (call wall-time * chip peak)
+    inf_mfu_line = ""
+    flops_call = report.get("flops_per_call")
+    if flops_call:
+        from efficientconformer_tpu.utils import flops as F
+
+        call_s = BATCH * SECONDS / rtf
+        u = F.mfu(flops_call, call_s, dtype="bfloat16")
+        inf_mfu_line = (
+            f"- Inference arithmetic: {F.format_flops(flops_call)}/batch "
+            f"(matmul+conv) -> {F.format_flops(flops_call / call_s)}/s"
+            + (f", **MFU {u*100:.1f}%**" if u is not None else
+               " (MFU n/a off-TPU)")
+            + " — greedy CTC inference is HBM/latency-bound at Small size, "
+              "not MXU-bound; train MFU below is the utilisation headline"
+        )
 
     if args.details:
         lines = [
@@ -179,6 +252,8 @@ def main():
             f"- CTC Small batched greedy, TPU chip: **{rtf:.0f}x RT** "
             f"(batch {BATCH} x {SECONDS:.0f}s, bf16)",
         ]
+        if inf_mfu_line:
+            lines.append(inf_mfu_line)
         if ref_rtf:
             lines.append(
                 f"- Reference PyTorch greedy CTC on host CPU (same workload, "
@@ -186,6 +261,23 @@ def main():
                 f"(hardware-asymmetric: one v5e chip vs host CPU; the "
                 f"reference's published GPUs are not available in this image)"
             )
+        lines += ["", "## Training (fwd+bwd+update, bf16, measured)", ""]
+        for name, batch, secs in (
+            ("EfficientConformerCTCSmall", 16, 10.0),
+            ("EfficientConformerCTCLarge", 8, 16.0),
+            ("EfficientConformerTransducerMedium", 8, 10.0),
+        ):
+            try:
+                r = bench_train_step(name, batch, secs)
+                mfu_s = (f"MFU {r['mfu']*100:.1f}%" if r["mfu"] is not None
+                         else "MFU n/a")
+                lines.append(
+                    f"- {name} b={batch}x{secs:.0f}s: "
+                    f"**{r['ms_per_step']:.1f} ms/step** "
+                    f"({r['audio_s_per_s']:.0f} audio-s/s/chip), "
+                    f"{r['tflops_per_step']:.2f} TF/step -> {mfu_s}")
+            except Exception as e:  # keep the primary metric robust
+                lines.append(f"- {name}: train bench failed: {e!r}")
         with open("BENCH_DETAILS.md", "w") as f:
             f.write("\n".join(lines) + "\n")
 

@@ -81,10 +81,20 @@ def main():
     loss = float(metrics["loss"])
     dt = (time.perf_counter() - t0) / args.iters
     audio_s = args.batch * args.seconds
+
+    from efficientconformer_tpu.utils import flops as F
+
+    step_flops = F.flops_of_fn(step, state, batch, key)
+    util = F.mfu(step_flops, dt,
+                 dtype="bfloat16" if args.dtype != "float32" else "float32")
     print(f"{args.config} batch={args.batch} x {args.seconds:.0f}s "
           f"dtype={args.dtype} pallas_bwd={args.pallas_bwd}:")
     print(f"  {dt*1e3:.1f} ms/step  |  {audio_s/dt:.0f} audio-s/s/chip  "
           f"| loss {loss:.3f}")
+    print(f"  {F.format_flops(step_flops)}/step (matmul+conv, fwd+bwd) "
+          f"-> {F.format_flops(step_flops/dt)}/s"
+          + (f"  |  MFU {util*100:.1f}%" if util is not None else
+             "  (MFU n/a: unknown chip peak)"))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,128 @@
+"""FLOP counter tests: jaxpr-walking count vs hand-computed oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from efficientconformer_tpu.utils.flops import (
+    count_flops,
+    flops_of_fn,
+    mfu,
+    device_peak_flops,
+)
+
+
+def test_plain_matmul():
+    a = jnp.zeros((8, 32))
+    b = jnp.zeros((32, 16))
+    assert flops_of_fn(jnp.dot, a, b) == 2 * 8 * 16 * 32
+
+
+def test_batched_dot_general():
+    # (B, M, K) @ (B, K, N): batch dims count once
+    a = jnp.zeros((4, 8, 32))
+    b = jnp.zeros((4, 32, 16))
+    fn = lambda x, y: jax.lax.dot_general(
+        x, y, (((2,), (1,)), ((0,), (0,))))
+    assert flops_of_fn(fn, a, b) == 2 * 4 * 8 * 16 * 32
+
+
+def test_conv_flops():
+    # NHWC conv: out elems * kernel elems * in_ch
+    x = jnp.zeros((2, 16, 16, 3))
+    k = jnp.zeros((3, 3, 3, 8))
+    fn = lambda x, k: jax.lax.conv_general_dilated(
+        x, k, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    want = 2 * (2 * 16 * 16 * 8) * (3 * 3 * 3)
+    assert flops_of_fn(fn, x, k) == want
+
+
+def test_depthwise_conv_groups():
+    # feature_group_count=C: each output channel contracts 1 input channel
+    x = jnp.zeros((2, 16, 8))  # NHC (1D)
+    k = jnp.zeros((3, 1, 8))   # HIO with I=1
+    fn = lambda x, k: jax.lax.conv_general_dilated(
+        x, k, (1,), "SAME", feature_group_count=8,
+        dimension_numbers=("NHC", "HIO", "NHC"))
+    want = 2 * (2 * 16 * 8) * (3 * 1)
+    assert flops_of_fn(fn, x, k) == want
+
+
+def test_scan_multiplies_by_length():
+    a = jnp.zeros((8, 8))
+
+    def step(c, _):
+        return jnp.dot(c, a), None
+
+    fn = lambda c: jax.lax.scan(step, c, None, length=5)
+    assert flops_of_fn(fn, a) == 5 * 2 * 8 * 8 * 8
+
+
+def test_grad_counts_backward():
+    # d(x @ w) wrt w and x adds two more matmuls of the same size
+    x = jnp.zeros((8, 32))
+    w = jnp.zeros((32, 16))
+
+    def loss(w, x):
+        return jnp.sum(jnp.dot(x, w))
+
+    fwd = flops_of_fn(loss, w, x)
+    both = flops_of_fn(jax.grad(loss, argnums=(0, 1)), w, x)
+    assert fwd == 2 * 8 * 16 * 32
+    assert both == 3 * fwd
+
+
+def test_remat_and_jit_recursion():
+    x = jnp.zeros((8, 32))
+    w = jnp.zeros((32, 16))
+
+    @jax.jit
+    def inner(w, x):
+        return jnp.sum(jax.checkpoint(lambda a, b: jnp.dot(a, b))(x, w))
+
+    assert flops_of_fn(inner, w, x) == 2 * 8 * 16 * 32
+
+
+def test_while_estimate():
+    a = jnp.zeros((8, 8))
+
+    def fn(c):
+        return jax.lax.while_loop(
+            lambda s: s[1] < 3, lambda s: (jnp.dot(s[0], a), s[1] + 1),
+            (c, 0))
+
+    assert flops_of_fn(fn, a) == 0  # default: unknown trips -> 0
+    assert flops_of_fn(fn, a, while_trip_estimate=3) == 3 * 2 * 8 * 8 * 8
+
+
+def test_encoder_flops_scale_with_time():
+    """CTC Small forward FLOPs must scale superlinearly in audio length
+    (attention), and MFU math wires through."""
+    from efficientconformer_tpu.config import load_config
+    from efficientconformer_tpu.models.model_ctc import ModelCTC
+
+    cfg = load_config("configs/EfficientConformerCTCSmall.json")
+    model = ModelCTC(encoder_params=dict(cfg.encoder_params),
+                     vocab_size=cfg.vocab_size)
+    flops = {}
+    for secs in (2, 4):
+        t = 16000 * secs
+        x = jnp.zeros((1, t))
+        x_len = jnp.full((1,), t, jnp.int32)
+        variables = model.init(jax.random.PRNGKey(0), x, x_len)
+
+        def fwd(v, x, x_len):
+            return model.apply(v, x, x_len, False)[0]
+
+        flops[secs] = flops_of_fn(fwd, variables, x, x_len)
+    assert flops[4] > 2 * flops[2]  # superlinear: attention terms
+    assert flops[2] > 1e9  # sanity: ~GFLOPs scale for 2 s audio
+
+    u = mfu(flops[4], 0.01)
+    peak = device_peak_flops()
+    if peak is None:
+        assert u is None  # CPU: unknown peak
+    else:
+        assert 0 < u
