@@ -105,3 +105,50 @@ def test_lm_loader():
     assert (tgt[:n] == tok[:n]).all()
     assert tgt[n] == 0
     assert (tgt[n + 1 :] == -1).all()
+
+
+def test_corpus_dataset_mmap_index(tmp_path):
+    """LibriSpeechCorpusDataset reads through a cached offset index (no
+    readlines; O(1) resident memory, reference utils/datasets.py:67 loads
+    the whole 40M-line corpus instead) — lines round-trip, the over-max_len
+    resample loop works, and the index cache is reused and rebuilt on
+    corpus change."""
+    import os
+
+    from efficientconformer_tpu.data.datasets import (
+        LibriSpeechCorpusDataset,
+        _corpus_index,
+    )
+    from efficientconformer_tpu.data.tokenizer import train_bpe
+
+    lines = ["HELLO WORLD", "A", "THE QUICK BROWN FOX", "", "LAST LINE"]
+    p = str(tmp_path / "corpus.txt")
+    with open(p, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    tok = train_bpe(iter(l.lower() for l in lines if l), vocab_size=40)
+
+    ds = LibriSpeechCorpusDataset(p, tok)
+    assert len(ds) == len(lines)
+    for i, want in enumerate(lines):
+        assert ds.line(i) == want
+        # the dataset lowercases before encoding (tokenizers are trained on
+        # the lower-cased corpus, data/preparation.py)
+        assert tok.decode(ds[i].tolist()) == want.lower()
+
+    assert os.path.isfile(p + ".idx")
+    mtime = os.path.getmtime(p + ".idx")
+    LibriSpeechCorpusDataset(p, tok)      # cache hit: no rebuild
+    assert os.path.getmtime(p + ".idx") == mtime
+
+    # max_len resampling: every returned row obeys the cap
+    ds2 = LibriSpeechCorpusDataset(p, tok, max_len=3, seed=1)
+    for i in range(len(ds2)):
+        assert len(ds2[i]) <= 3
+
+    # corpus change -> index rebuild picks up the new line set
+    with open(p, "a") as f:
+        f.write("APPENDED\n")
+    os.utime(p, (mtime + 5, mtime + 5))
+    ds3 = LibriSpeechCorpusDataset(p, tok)
+    assert len(ds3) == len(lines) + 1
+    assert ds3.line(len(lines)) == "APPENDED"
