@@ -13,22 +13,24 @@ Representation (kenlm-like trie):
     int32 node id — fixed-shape, stack/gather friendly for beam slots.
   * per node: its backoff weight, its longest-proper-suffix node (the
     backoff chain), and its length.
-  * scores: one sorted vector of keys ``node_id * 2^bits + wid`` over ALL
-    entries (the entry's context must be a node — the ARPA prefix
-    property), with aligned log10-prob values. A lookup is
-    ``jnp.searchsorted`` + gather + equality — O(log M) gathers, fully
-    vectorisable over (batch, beam, candidates).
-  * transitions: the same packing maps (node(t[:-1]), t[-1]) -> node(t)
+  * scores: CSR layout over ALL entries whose context is a node (the ARPA
+    prefix property): ``score_starts[node] .. score_starts[node+1]`` bounds
+    a wid-sorted run of (wid, log10-prob) pairs. A lookup gathers the two
+    row bounds then runs a fixed-depth vectorised binary search over the
+    run — ceil(log2(max per-context fanout)) + 2 gathers, i.e. bounded by
+    the *vocabulary* (<= 9 steps at vocab 256), not the table size, and
+    with no packed-key width limit: node and entry counts scale to 2^31
+    independently (a packed ``node << bits | wid`` int32 key would cap a
+    real 6-gram's contexts at ~4M).
+  * transitions: the same layout maps (node(t[:-1]), t[-1]) -> node(t)
     for every non-empty node, giving the longest-suffix state update.
 
 Score/state semantics match ``decoding/ngram.ArpaLM.score_word`` exactly
 for well-formed ARPA files (prefix property: every entry's context is
 itself listed — true of kenlm/SRILM output). The equivalence tests check
-against that oracle, including backoff and unknown-token paths.
-
-Keys fit int32: ``#nodes * 2^bits < 2^31`` where ``bits`` covers the ARPA
-vocabulary (10 bits for the reference's 1000-token models -> up to 2M
-contexts). ``from_arpa`` raises if exceeded.
+against that oracle, including backoff and unknown-token paths, and
+tests/test_ngram_device.py includes a millions-of-entries order-6 case
+(the reference decodes with 6gram_256.arpa, configs/*.json).
 """
 
 from __future__ import annotations
@@ -42,14 +44,31 @@ import jax.numpy as jnp
 from efficientconformer_tpu.decoding.ngram import LOG10_UNK, ArpaLM
 
 
+def _csr_pack(nodes, cols, vals, n_nodes, n_cols):
+    """Sort (node, col, val) triples into CSR: row-pointer ``starts``
+    (n_nodes+1), col-sorted ``cols``/``vals`` per row. Pure numpy — scales to
+    tens of millions of entries."""
+    nodes = np.asarray(nodes, np.int64)
+    cols_a = np.asarray(cols, np.int64)
+    order = np.argsort(nodes * (n_cols + 1) + cols_a, kind="stable")
+    starts = np.zeros((n_nodes + 1,), np.int64)
+    np.add.at(starts, nodes + 1, 1)
+    np.cumsum(starts, out=starts)
+    assert starts[-1] < 2 ** 31, "entry count overflows int32 offsets"
+    return (
+        starts.astype(np.int32),
+        cols_a[order].astype(np.int32),
+        np.asarray(vals)[order],
+    )
+
+
 class DeviceNgram:
     def __init__(self, arpa: ArpaLM, vocab_size: int):
         self.order = max(arpa.order, 1)
         words = sorted({w for key in arpa.table for w in key})
         word_id = {w: i for i, w in enumerate(words)}
-        self.bits = max(1, math.ceil(math.log2(len(words) + 2)))
-        miss = (1 << self.bits) - 1            # never matches a real wid
-        assert len(words) < miss, "ARPA vocabulary overflows the wid field"
+        self.n_words = len(words)
+        miss = self.n_words                    # never matches a real wid
 
         # ---- nodes: contexts (entries of order < N) + the empty context
         node_tuples = [()] + sorted(
@@ -57,9 +76,7 @@ class DeviceNgram:
         )
         node_id = {t: i for i, t in enumerate(node_tuples)}
         n_nodes = len(node_tuples)
-        assert n_nodes << self.bits < 2 ** 31, (
-            f"{n_nodes} contexts x {self.bits} wid bits overflow int32 keys"
-        )
+        assert n_nodes < 2 ** 31, f"{n_nodes} contexts overflow int32 node ids"
 
         backoff = np.zeros((n_nodes,), np.float32)
         suffix = np.zeros((n_nodes,), np.int32)
@@ -73,8 +90,8 @@ class DeviceNgram:
                 s = s[1:]
             suffix[i] = node_id[s] if s else 0
 
-        # ---- score table over ALL entries with a node context
-        skeys, svals = [], []
+        # ---- score table over ALL entries with a node context (CSR)
+        snodes, swids, svals = [], [], []
         self._max_logp = LOG10_UNK
         self._min_logp = 0.0
         max_bo = 0.0
@@ -87,25 +104,40 @@ class DeviceNgram:
             ctx = t[:-1]
             if ctx not in node_id:
                 continue  # ill-formed entry: unreachable from trimmed states
-            skeys.append((node_id[ctx] << self.bits) | word_id[t[-1]])
+            snodes.append(node_id[ctx])
+            swids.append(word_id[t[-1]])
             svals.append(logp)
-        order_sc = np.argsort(np.asarray(skeys, np.int64))
-        self.score_keys = jnp.asarray(np.asarray(skeys, np.int32)[order_sc])
-        self.score_vals = jnp.asarray(np.asarray(svals, np.float32)[order_sc])
+        starts, wids, vals = _csr_pack(
+            snodes, swids, np.asarray(svals, np.float32), n_nodes, self.n_words)
+        self.score_starts = jnp.asarray(starts)
+        self.score_wids = jnp.asarray(wids)
+        self.score_vals = jnp.asarray(vals)
 
-        # ---- transition table: (node(t[:-1]), t[-1]) -> node(t)
-        tkeys, tvals = [], []
+        # ---- transition table: (node(t[:-1]), t[-1]) -> node(t) (CSR)
+        tnodes, twids, tvals = [], [], []
         for t, i in node_id.items():
             if not t:
                 continue
             ctx = t[:-1]
             if ctx not in node_id:
                 continue
-            tkeys.append((node_id[ctx] << self.bits) | word_id[t[-1]])
+            tnodes.append(node_id[ctx])
+            twids.append(word_id[t[-1]])
             tvals.append(i)
-        order_tr = np.argsort(np.asarray(tkeys, np.int64))
-        self.trans_keys = jnp.asarray(np.asarray(tkeys, np.int32)[order_tr])
-        self.trans_vals = jnp.asarray(np.asarray(tvals, np.int32)[order_tr])
+        starts, wids, vals = _csr_pack(
+            tnodes, twids, np.asarray(tvals, np.int32), n_nodes, self.n_words)
+        self.trans_starts = jnp.asarray(starts)
+        self.trans_wids = jnp.asarray(wids)
+        self.trans_vals = jnp.asarray(vals)
+
+        # fixed binary-search depth: rows are wid-sorted runs, so the longest
+        # run is bounded by the per-context fanout (<= ARPA vocab), NOT the
+        # table size — <= 9 steps at vocab 256 vs log2(entries) for a flat key
+        max_fanout = max(
+            int(np.max(np.diff(self.score_starts))) if len(svals) else 1,
+            int(np.max(np.diff(self.trans_starts))) if len(tvals) else 1,
+        )
+        self._bsearch_steps = max(1, math.ceil(math.log2(max_fanout + 1)))
 
         self.backoff = jnp.asarray(backoff)
         self.suffix = jnp.asarray(suffix)
@@ -145,14 +177,28 @@ class DeviceNgram:
         """Node ids for the start context (<s> if present)."""
         return jnp.full(shape, self._start, jnp.int32)
 
-    def _lookup(self, keys, vals, query, default):
-        # method='scan_unrolled': a flat unrolled binary search. The default
-        # 'scan' lowers to a lax.scan, which inside the beam's
-        # while_loop->fori_loop nesting blew XLA compile time up 17x and ran
-        # ~100x slower on TPU (nested-loop overhead per bisection step).
-        idx = jnp.searchsorted(keys, query, method="scan_unrolled")
-        idx = jnp.minimum(idx, keys.shape[0] - 1)
-        hit = keys[idx] == query
+    def _lookup(self, starts, wids, vals, node, wid, default):
+        """CSR row lookup: find ``wid`` in the wid-sorted run of ``node``.
+
+        An unrolled fixed-depth binary search (like searchsorted's
+        'scan_unrolled': lax.scan-based bisection inside the beam's
+        while_loop nesting blew XLA compile time up 17x and ran ~100x
+        slower on TPU), but over the per-node run only — depth is bounded
+        by the max per-context fanout (the ARPA vocab), not the table."""
+        if wids.shape[0] == 0:
+            zero = jnp.zeros(node.shape, bool)
+            return jnp.full(node.shape, default, vals.dtype), zero
+        lo = starts[node]
+        hi = starts[node + 1]
+        for _ in range(self._bsearch_steps):
+            active = lo < hi
+            mid = (lo + hi) >> 1
+            v = wids[jnp.minimum(mid, wids.shape[0] - 1)]
+            go_right = active & (v < wid)
+            lo = jnp.where(go_right, mid + 1, lo)
+            hi = jnp.where(active & ~go_right, mid, hi)
+        idx = jnp.minimum(lo, wids.shape[0] - 1)
+        hit = (lo < starts[node + 1]) & (wids[idx] == wid)
         return jnp.where(hit, vals[idx], default), hit
 
     def score_from(self, node: jnp.ndarray, tok: jnp.ndarray) -> jnp.ndarray:
@@ -164,8 +210,8 @@ class DeviceNgram:
         done = jnp.zeros(node.shape, bool)
         out = jnp.zeros(node.shape, jnp.float32)
         for _ in range(self.order):
-            q = (cur << self.bits) | wid
-            val, hit = self._lookup(self.score_keys, self.score_vals, q, 0.0)
+            val, hit = self._lookup(self.score_starts, self.score_wids,
+                                    self.score_vals, cur, wid, 0.0)
             out = jnp.where(~done & hit, val + acc, out)
             done = done | hit
             acc = acc + jnp.where(done, 0.0, self.backoff[cur])
@@ -186,8 +232,8 @@ class DeviceNgram:
         new_node = jnp.zeros_like(node)
         found = jnp.zeros(node.shape, bool)
         for _ in range(self.order - 1):
-            q = (cur << self.bits) | wid
-            val, hit = self._lookup(self.trans_keys, self.trans_vals, q, 0)
+            val, hit = self._lookup(self.trans_starts, self.trans_wids,
+                                    self.trans_vals, cur, wid, 0)
             new_node = jnp.where(~found & hit, val, new_node)
             found = found | hit
             stop = found | (cur == 0)
