@@ -20,13 +20,17 @@ interior ``chunk`` frames are emitted: ``history`` frames of left margin
 re-establish attention/conv context, ``lookahead`` frames of right margin
 absorb the subsampling convs' right context and the STFT edge effects.
 
-Exactness: with a causal config (``causal: true``, finite ``left_context``)
-the emitted frames are numerically identical to the batch forward on the
-zero-padded utterance once ``history`` covers the encoder's total left
-receptive field (sum of per-block attention left context and conv kernels,
-see ``suggested_history_frames``). Non-causal configs stream too, but frames
-near the chunk boundary see a truncated future context — the standard
-latency/accuracy trade-off; larger ``lookahead`` tightens it.
+Exactness: the emitted frames are numerically identical to the batch forward
+on the zero-padded utterance once ``history`` covers the encoder's total
+LEFT receptive field (``suggested_history_frames``) and ``lookahead`` covers
+its total RIGHT receptive field (``suggested_lookahead_frames``). Causal
+configs have right field 0 (lookahead 2 absorbs STFT edge effects only);
+non-causal configs with finite ``right_context`` windows are exact at a fixed
+emission delay of ``suggested_lookahead_frames`` — the retained-lookahead
+mode. Full-context configs (every shipped one: left = right =
+``max_pos_encoding``) have an unbounded right field, so bounded-latency
+streaming is necessarily approximate for them; the boundary error decays
+with ``lookahead`` and is measured in tests/test_streaming_runtime.py.
 
 Group/block alignment: grouped attention (G) and local attention (K) tile
 from absolute frame 0, so window starts are rounded down to keep every
@@ -89,6 +93,39 @@ def _base_alignment(p: dict) -> int:
             if tile and tile > 1:
                 align = math.lcm(align, tile // math.gcd(tile, ratio))
     return align
+
+
+def suggested_lookahead_frames(p: dict) -> int:
+    """Right receptive field of the whole encoder, in output frames — the
+    retained lookahead that makes non-causal streaming EXACT: emit frame ``j``
+    only once ``suggested_lookahead_frames`` future frames are in the window,
+    so every attention window (``right_context``, reference
+    models/attentions.py:1377-1403), same-padding conv right half, grouped /
+    local tiling spill and the subsampling stack's right margin see the same
+    future the batch forward sees.
+
+    Causal configs need 0. Full-context configs (the 14 shipped ones:
+    left = right = max_pos_encoding, reference models/encoders.py:68) return
+    a value on the order of max_pos_encoding — i.e. "the whole utterance" —
+    signalling that bounded-latency streaming is necessarily approximate for
+    them; pick a finite ``lookahead_frames`` and measure the boundary error
+    (tests/test_streaming_runtime.py does)."""
+    if p.get("causal", False):
+        return 0
+    sub = 2 ** p.get("subsampling_layers", 1)
+    s_out_mel = total_stride(p)
+    right_att = p.get("right_context", p["max_pos_encoding"])
+    total_mel = 2 * sub  # subsampling conv stack + STFT edge margin
+    for b, s_in in zip(resolve_block_configs(p), _strides_per_stage(p)):
+        stage_mel = sub * s_in
+        # attention window + grouped/local tiling spill (a query's group /
+        # local block may extend up to tile-1 frames past it) + conv right half
+        right_ext = right_att + b.kernel_size // 2
+        for tile in (b.att_group_size, b.att_kernel_size or 1):
+            if tile and tile > 1:
+                right_ext += tile - 1
+        total_mel += right_ext * stage_mel
+    return -(-total_mel // s_out_mel)  # ceil to output frames
 
 
 def suggested_history_frames(p: dict) -> int:

@@ -197,3 +197,127 @@ def test_streaming_noncausal_smoke():
     ems = sess.push(np.asarray(audio)) + sess.finish(np.asarray(x_len))
     got = np.concatenate([em.valid for em in ems], axis=1)
     assert got.shape[1] == encoder_output_frames(enc, t)
+
+
+# ---------------------------------------------------------------------------
+# Retained-lookahead streaming (VERDICT r2 item #2): non-causal configs
+# ---------------------------------------------------------------------------
+
+# EfficientConformerCTCSmall's shape (configs/EfficientConformerCTCSmall.json)
+# at toy width: 3 stages, grouped attention G=3 in stage 1, stride-2 expand
+# blocks at the stage boundaries, NON-causal same-padding convs.
+ECF_SHAPED = dict(
+    TINY_ENC,
+    num_blocks=6,
+    dim_model=[16, 24, 32],
+    num_heads=2,
+    kernel_size=[7, 7, 7],
+    att_group_size=[3, 1, 1],
+    strided_blocks=[2, 4],
+    expand_blocks=[2, 4],
+    conv_stride=2,
+    att_stride=1,
+    subsampling_layers=1,
+)
+
+
+def test_suggested_lookahead_frames():
+    assert S.suggested_lookahead_frames(dict(CAUSAL_ENC)) == 0
+    finite = dict(ECF_SHAPED, left_context=16, right_context=2)
+    la = S.suggested_lookahead_frames(finite)
+    assert 0 < la < 64
+    # full-context: right field ~ max_pos_encoding -> "whole utterance"
+    assert S.suggested_lookahead_frames(ECF_SHAPED) > 100
+
+
+def test_streaming_noncausal_finite_right_context_exact():
+    """Retained-lookahead exactness: with finite attention windows
+    (left_context/right_context, reference models/attentions.py:1377-1403)
+    and lookahead >= the encoder's right receptive field, streamed frames
+    equal the batch forward up to float32 reassociation noise (~1e-4 over
+    this 6-block stack) at a FIXED emission delay."""
+    enc = dict(ECF_SHAPED, left_context=16, right_context=2)
+    model = ModelCTC(encoder_params=enc, vocab_size=9)
+    b, t = 2, 40000
+    rng = np.random.default_rng(5)
+    audio = jnp.asarray(rng.standard_normal((b, t)), jnp.float32) * 0.1
+    x_len = jnp.array([t, t - 9000])
+    variables = model.init(jax.random.PRNGKey(0), audio[:1], x_len[:1])
+    encode = jax.jit(lambda a, l: model.apply(variables, a, l, False))
+
+    sess = S.StreamingEncoderSession(
+        encode_fn=encode, encoder_params=enc, batch_size=b,
+        chunk_frames=6,
+        lookahead_frames=S.suggested_lookahead_frames(enc),
+    )
+    ems = sess.push(np.asarray(audio)) + sess.finish(np.asarray(x_len))
+    got = np.concatenate([em.valid for em in ems], axis=1)
+
+    pad = np.zeros((b, sess.window_samples), np.float32)
+    want, want_len, _ = model.apply(
+        variables, jnp.concatenate([audio, jnp.asarray(pad)], axis=1),
+        x_len, False,
+    )
+    for i in range(b):
+        cap = encoder_output_frames(enc, int(x_len[i]))
+        np.testing.assert_allclose(
+            got[i, :cap], np.asarray(want)[i, :cap], rtol=1e-4, atol=1e-4
+        )
+
+
+def test_streaming_full_context_measured_bound():
+    """The shipped configs are full-context (left = right = max_pos_encoding,
+    reference models/encoders.py:68): bounded-latency streaming is
+    necessarily approximate — every output frame depends on the WHOLE
+    utterance. This measures the approximation on an
+    EfficientConformerCTCSmall-shaped config over a 12 s utterance and pins
+    the continuum: the error shrinks as the window grows, a
+    window >= utterance is exact up to float noise (the runtime itself adds
+    no error beyond context truncation), and at the utterance-sized window
+    the greedy decode equals the batch decode."""
+    enc = dict(ECF_SHAPED)
+    model = ModelCTC(encoder_params=enc, vocab_size=9)
+    b, t = 1, 192000  # 12 s -> cap ~150 output frames
+    rng = np.random.default_rng(9)
+    audio = jnp.asarray(rng.standard_normal((b, t)), jnp.float32) * 0.1
+    x_len = jnp.array([t])
+    variables = model.init(jax.random.PRNGKey(1), audio, x_len)
+    encode = jax.jit(lambda a, l: model.apply(variables, a, l, False))
+
+    # truth = the padded-batch-pipeline forward (zero pad past x_len, like
+    # the bucketed loader): with non-causal convs the last few valid frames
+    # legitimately depend on a few padded positions, and any pad longer than
+    # the conv receptive field gives the same valid-frame values
+    padded = jnp.concatenate(
+        [audio, jnp.zeros((b, 64000), jnp.float32)], axis=1)
+    want, want_len, _ = model.apply(variables, padded, x_len, False)
+    cap = encoder_output_frames(enc, t)
+    assert cap > 100
+
+    def stream_err(lookahead, history):
+        sess = S.StreamingEncoderSession(
+            encode_fn=encode, encoder_params=enc, batch_size=b,
+            chunk_frames=6, history_frames=history,
+            lookahead_frames=lookahead,
+        )
+        ems = sess.push(np.asarray(audio)) + sess.finish(np.asarray(x_len))
+        got = np.concatenate([em.valid for em in ems], axis=1)
+        assert got.shape[1] == cap
+        err = float(np.max(np.abs(got[0, :cap] - np.asarray(want)[0, :cap])))
+        return err, got
+
+    err_small, _ = stream_err(lookahead=8, history=24)    # ~2.5 s window
+    err_mid, _ = stream_err(lookahead=24, history=72)     # ~8 s window
+    err_full, got = stream_err(lookahead=cap, history=cap)  # >= utterance
+    # context truncation shrinks with the window ...
+    assert err_full < err_mid < err_small
+    # ... and vanishes once the window covers the utterance
+    assert err_full < 1e-3, err_full
+    # decode-level equality at the utterance-sized window
+    preds_full = jnp.argmax(want[:, :cap], axis=-1)
+    toks_full, n_full = ctc_greedy_collapse(preds_full, jnp.array([cap]))
+    preds_stream = jnp.argmax(jnp.asarray(got[:, :cap]), axis=-1)
+    toks_s, n_s = ctc_greedy_collapse(preds_stream, jnp.array([cap]))
+    assert int(n_s[0]) == int(n_full[0])
+    assert np.asarray(toks_s)[0, : int(n_s[0])].tolist() == \
+        np.asarray(toks_full)[0, : int(n_full[0])].tolist()
