@@ -64,12 +64,31 @@ def save(path: str, state, save_optimizer: bool = True,
     os.replace(tmp, path)  # atomic: partial writes never clobber `path`
 
 
+def _orbax_restore(path: str) -> dict:
+    """Restore an orbax directory checkpoint, tolerating TOPOLOGY CHANGES:
+    a checkpoint saved under N processes restores under any other process/
+    device layout. Plain restore reuses the saved shardings (fast path,
+    same topology); when orbax rejects them (different mesh), every leaf is
+    re-read as a host numpy array via the checkpoint's own metadata and the
+    trainer re-shards on the next step."""
+    import numpy as _np
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        try:
+            return ckptr.restore(path)
+        except ValueError:
+            meta = ckptr.metadata(path)
+            tree = getattr(getattr(meta, "item_metadata", meta), "tree", meta)
+            restore_args = jax.tree.map(
+                lambda _: ocp.RestoreArgs(restore_type=_np.ndarray), tree)
+            return ckptr.restore(path, restore_args=restore_args)
+
+
 def _restore(path: str, template: dict) -> dict:
     if os.path.isdir(path):  # orbax directory checkpoint
-        import orbax.checkpoint as ocp
-
-        with ocp.PyTreeCheckpointer() as ckptr:
-            return ckptr.restore(os.path.abspath(path))
+        return _orbax_restore(path)
     with open(path, "rb") as f:
         return serialization.from_bytes(template, f.read())
 
@@ -118,10 +137,7 @@ def load_encoder(path: str, template_state):
     checkpoint may come from a different model type (e.g. CTC encoder
     pretraining -> transducer init), so it is restored structure-free."""
     if os.path.isdir(path):
-        import orbax.checkpoint as ocp
-
-        with ocp.PyTreeCheckpointer() as ckptr:
-            data = ckptr.restore(os.path.abspath(path))
+        data = _orbax_restore(path)
     else:
         with open(path, "rb") as f:
             data = serialization.msgpack_restore(f.read())

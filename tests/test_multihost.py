@@ -32,10 +32,12 @@ def test_two_process_train_step_matches_single_process(tmp_path):
     port = free_port()
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    ckpt_dir = str(tmp_path / "mh_ckpt")
+    os.makedirs(ckpt_dir, exist_ok=True)
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.join(root, "tests", "mh_worker.py"),
-             str(pid), "2", str(port)],
+             str(pid), "2", str(port), ckpt_dir],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             cwd=root, env=env,
         )
@@ -48,12 +50,14 @@ def test_two_process_train_step_matches_single_process(tmp_path):
     results = {}
     for out in outs:
         m = re.search(
-            r"RESULT pid=(\d) loss=([-\d.]+) checksum=([-\d.]+) gathered=(\S+)",
+            r"RESULT pid=(\d) loss=([-\d.]+) checksum=([-\d.]+) "
+            r"gathered=(\S+) wer=([-\d.]+) n_utt=(\d+) digest=(\S+)",
             out,
         )
         assert m, out[-3000:]
         results[int(m.group(1))] = (
-            float(m.group(2)), float(m.group(3)), m.group(4)
+            float(m.group(2)), float(m.group(3)), m.group(4),
+            float(m.group(5)), int(m.group(6)), m.group(7),
         )
     assert set(results) == {0, 1}
     # both processes observe the same global step
@@ -61,10 +65,44 @@ def test_two_process_train_step_matches_single_process(tmp_path):
     assert results[0][1] == pytest.approx(results[1][1], rel=1e-6)
     # string gather saw both hosts' strings
     assert results[0][2] == "host-0-a,host-0-b,host-1-a,host-1-b"
+    # distributed evaluate(): both processes computed the same corpus WER
+    # over the same gathered truth/pred strings, covering the whole dataset
+    assert results[0][3] == pytest.approx(results[1][3], abs=1e-9)
+    assert results[0][4] == results[1][4] == 16
+    assert results[0][5] == results[1][5]
 
-    # single-process reference on a 4-device mesh over the same global batch
-    from tests.mh_worker import run_step
+    # single-process reference on a 4-device mesh: same step AND same
+    # evaluate() output as the 2-process run (VERDICT r2 item #7)
+    from tests.mh_worker import run_all
 
-    loss_ref, checksum_ref = run_step(0, 1)
+    loss_ref, checksum_ref, wer_ref, n_ref, digest_ref = run_all(0, 1)
     assert results[0][0] == pytest.approx(loss_ref, rel=1e-5)
     assert results[0][1] == pytest.approx(checksum_ref, rel=1e-5)
+    assert results[0][3] == pytest.approx(wer_ref, abs=1e-9)
+    assert (results[0][4], results[0][5]) == (n_ref, digest_ref)
+
+    # topology change: the orbax checkpoint written under 2 processes
+    # restores in THIS single process (8 local devices) with identical
+    # parameters (VERDICT r2 weak #7)
+    import jax
+    import numpy as np
+
+    from efficientconformer_tpu.training import checkpoint
+    from efficientconformer_tpu.training.trainer import Trainer
+    from tests.mh_worker import SynthAsrDataset
+    from tests.test_convergence import make_cfg
+
+    trainer = Trainer(make_cfg("CTC"))
+    micro = {
+        "audio": np.zeros((2, 6000), np.float32),
+        "labels": np.ones((2, 4), np.int32),
+        "audio_len": np.full((2,), 6000, np.int32),
+        "label_len": np.full((2,), 4, np.int32),
+    }
+    template = trainer.init_state(micro)
+    restored = checkpoint.load(os.path.join(ckpt_dir, "ckpt"), template)
+    checksum_restored = float(sum(
+        jax.numpy.sum(jax.numpy.abs(p))
+        for p in jax.tree.leaves(restored.params)))
+    assert checksum_restored == pytest.approx(results[0][1], rel=1e-5)
+    assert int(restored.step) == 1
