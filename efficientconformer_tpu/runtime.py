@@ -598,6 +598,14 @@ def run(args):
         dt = time.time() - t0
         if args.profiler:
             jax.profiler.stop_trace()
+            # the reference prints a top-10 op table under --profiler
+            # (reference model.py:613-622); summarise the jax trace the
+            # same way (utils/profiling.py parses the Chrome-trace JSON)
+            from efficientconformer_tpu.utils.profiling import (
+                print_trace_summary,
+            )
+
+            print_trace_summary(os.path.join(cb_path, "profile"))
         print("eval time : {:.2f}s".format(dt))
         return 0
 
