@@ -9,6 +9,7 @@ surface), on a tiny model and a generated corpus.
 import argparse
 import json
 import os
+import sys
 import wave
 
 import numpy as np
@@ -105,7 +106,21 @@ def make_config(root, tmp_path):
 
 
 def run_cli(config_path, mode, **kw):
-    import main as cli
+    # load the repo-root main.py by explicit path: plain `import main` can be
+    # shadowed if another test put /root/reference (which has its own main.py)
+    # on sys.path or in sys.modules first
+    import importlib.util
+
+    repo_main = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "main.py")
+    cached = sys.modules.get("main")
+    if cached is None or getattr(cached, "__file__", "") != repo_main:
+        spec = importlib.util.spec_from_file_location("main", repo_main)
+        cli = importlib.util.module_from_spec(spec)
+        sys.modules["main"] = cli
+        spec.loader.exec_module(cli)
+    else:
+        cli = cached
 
     args = [
         "--config_file", config_path, "--mode", mode,

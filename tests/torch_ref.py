@@ -108,7 +108,10 @@ def import_reference():
     namespace 'models' or raises ImportError if unavailable."""
     install_torchaudio_stub()
     if "/root/reference" not in sys.path:
-        sys.path.insert(0, "/root/reference")
+        # append, not insert(0): the reference also has a top-level main.py
+        # whose DDP-style main(rank, args) would otherwise shadow the repo's
+        # main module for any test importing it afterwards
+        sys.path.append("/root/reference")
     import models.encoders  # noqa: F401
     import models.decoders  # noqa: F401
     import models.joint_networks  # noqa: F401
