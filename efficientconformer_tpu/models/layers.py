@@ -242,15 +242,35 @@ class IdentityProjection(nn.Module):
 
 
 class LayerNorm(nn.LayerNorm):
-    """LayerNorm with the reference epsilon (1e-6)."""
+    """LayerNorm with the reference epsilon (1e-6).
+
+    The output is cast back to the INPUT dtype: flax's default dtype=None
+    promotes bf16 activations against the f32 scale/bias to an f32 output,
+    which silently re-upcasts the whole residual stream (and with it the
+    entire backward pass) after every norm under the bf16 mixed-precision
+    policy. Mean/variance are still computed in f32 (flax always promotes
+    the statistics), so this only rounds the normalised output — and keeps
+    the step HBM traffic in bf16, which is what mixed_precision is for.
+    In full fp32 the cast is a no-op, so torch parity is unaffected.
+    """
 
     epsilon: float = 1e-6
+
+    def __call__(self, x):
+        return super().__call__(x).astype(x.dtype)
+
+
+class BatchNorm(nn.BatchNorm):
+    """BatchNorm whose output follows the input dtype (see LayerNorm)."""
+
+    def __call__(self, x, use_running_average=None):
+        return super().__call__(x, use_running_average).astype(x.dtype)
 
 
 def batch_norm(train: bool, name: str = None, momentum: float = 0.9, epsilon: float = 1e-5):
     """BatchNorm matching torch defaults. Under jit with a batch-sharded mesh the
     statistics are global means over the full logical batch, which subsumes the
     reference's SyncBatchNorm (reference model_ctc.py:73)."""
-    return nn.BatchNorm(
+    return BatchNorm(
         use_running_average=not train, momentum=momentum, epsilon=epsilon, name=name
     )
