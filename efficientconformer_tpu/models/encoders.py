@@ -27,6 +27,7 @@ from efficientconformer_tpu.models.modules import (
 )
 from efficientconformer_tpu.ops.masks import padding_mask, streaming_mask
 from efficientconformer_tpu.ops.pos_enc import absolute_encoding
+from efficientconformer_tpu.parallel.mesh import seq_constraint
 
 
 class ConformerEncoder(nn.Module):
@@ -66,6 +67,16 @@ class ConformerEncoder(nn.Module):
         if compute_dtype:
             x = x.astype(jnp.dtype(compute_dtype))
 
+        # Optional sequence parallelism (runtime key "seq_mesh", injected by
+        # the Trainer — never from config files): activations are sharded
+        # along TIME over the mesh's "seq" axis. GSPMD derives the implied
+        # collectives (halo exchange for convs/subsampling, K/V gathers for
+        # attention) from these constraints; parameters stay replicated over
+        # "seq". The constraint is re-asserted after subsampling and after
+        # every block so sharding survives the stride changes.
+        seq_mesh = p.get("seq_mesh")
+        x = seq_constraint(x, seq_mesh)
+
         # Subsampling
         x, x_len = SUBSAMPLING[p["subsampling_module"]](
             num_layers=p["subsampling_layers"],
@@ -75,6 +86,7 @@ class ConformerEncoder(nn.Module):
             act=p["subsampling_act"],
             name="subsampling",
         )(x, x_len, train)
+        x = seq_constraint(x, seq_mesh)
 
         # Padding / streaming mask. The encoder default is full context
         # (left = right = max_pos_encoding, reference models/encoders.py:68);
@@ -114,6 +126,7 @@ class ConformerEncoder(nn.Module):
             x, _ = block_cls(cfg, vn_std=self.vn_std, name=f"block_{i}")(
                 x, mask, None, train
             )
+            x = seq_constraint(x, seq_mesh)
             if cfg.stride > 1:
                 if mask is not None:
                     mask = mask[:, :, :: cfg.stride, :: cfg.stride]

@@ -16,12 +16,16 @@ from efficientconformer_tpu.ops.ctc_loss import ctc_loss
 from efficientconformer_tpu.ops.rnnt_loss import rnnt_loss
 
 
-def create_model(config: Config) -> Tuple[nn.Module, Callable]:
+def create_model(config: Config, seq_mesh=None) -> Tuple[nn.Module, Callable]:
     """Returns (module, loss_fn). loss_fn(outputs, batch) -> scalar loss.
 
     Batch formats (mirroring reference collate, utils/preprocessing.py:27-64):
     ASR: {audio (B,T), labels (B,U), audio_len (B,), label_len (B,)};
     LM:  {tokens (B,U), token_len (B,), targets (B,U+1) with -1 padding}.
+
+    ``seq_mesh``: a Mesh with a "seq" axis — encoder activations are then
+    sharded along time (sequence parallelism; see encoders.py). Runtime-only:
+    injected by the Trainer, never read from config files.
     """
     mtype = config.model_type
     vn_std = config.training_params.get("vn_std", None)
@@ -38,6 +42,8 @@ def create_model(config: Config) -> Tuple[nn.Module, Callable]:
         return params
 
     enc_params = with_policy(config.encoder_params)
+    if seq_mesh is not None and "seq" in seq_mesh.axis_names:
+        enc_params["seq_mesh"] = seq_mesh
 
     if mtype == "Transducer":
         # prediction net + joint follow the bf16 policy on the teacher-forced

@@ -23,24 +23,61 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_mesh(
     devices: Optional[Sequence] = None, axis_names: tuple = ("data",),
-    model_parallel: int = 1,
+    model_parallel: int = 1, seq_parallel: int = 1,
 ) -> Mesh:
     """Device mesh. Default: 1-D data-parallel over all devices.
-    ``model_parallel > 1`` builds a 2-D (data, model) mesh for tensor
-    parallelism (see ``shard_params``); the model axis should map to
-    ICI-adjacent devices (it carries the per-layer all-reduces)."""
+
+    ``model_parallel > 1`` adds a trailing "model" axis for Megatron-style
+    tensor parallelism (see ``shard_params``); ``seq_parallel > 1`` adds a
+    "seq" axis that shards encoder activations along TIME (see
+    ``seq_constraint`` and encoders.py) for long-audio training. Inner axes
+    carry the chattiest collectives (per-layer all-reduces for "model",
+    conv halos / attention gathers for "seq"), so they should map to
+    ICI-adjacent devices — which trailing mesh axes do by construction."""
     devices = list(devices if devices is not None else jax.devices())
-    if model_parallel > 1:
-        if len(devices) % model_parallel:
+    par = model_parallel * seq_parallel
+    if par > 1:
+        if len(devices) % par:
             raise ValueError(
-                f"model_parallel={model_parallel} does not divide the "
+                f"model_parallel={model_parallel} x seq_parallel="
+                f"{seq_parallel} does not divide the "
                 f"{len(devices)} visible device(s)"
             )
-        arr = np.asarray(devices).reshape(
-            len(devices) // model_parallel, model_parallel
-        )
-        return Mesh(arr, ("data", "model"))
+        shape, names = [len(devices) // par], ["data"]
+        if seq_parallel > 1:
+            shape.append(seq_parallel)
+            names.append("seq")
+        if model_parallel > 1:
+            shape.append(model_parallel)
+            names.append("model")
+        return Mesh(np.asarray(devices).reshape(shape), tuple(names))
     return Mesh(np.asarray(devices).reshape(len(devices)), axis_names)
+
+
+def seq_constraint(x, mesh: Optional[Mesh], time_axis: int = 1):
+    """Constrain activation ``x`` to be sharded along TIME over the "seq"
+    mesh axis (and batch over "data"). A no-op when the mesh is None or has
+    no "seq" axis, so model code can call it unconditionally. GSPMD inserts
+    the halo exchanges (convs) and gathers (attention) these shardings imply.
+    """
+    if mesh is None or "seq" not in mesh.axis_names:
+        return x
+    if x.shape[time_axis] % mesh.shape["seq"]:
+        # with_sharding_constraint requires even divisibility. Rather than
+        # pad (which would perturb BatchNorm statistics relative to the
+        # unsharded program), indivisible points are left unconstrained —
+        # GSPMD still propagates the neighbouring constraints. Loader bucket
+        # lengths control frame counts statically; power-of-two frame counts
+        # survive the (l-1)//s+1 stride arithmetic, so choosing
+        # *_audio_max_length with frames = 4*k*2^stages keeps every
+        # constraint point divisible.
+        return x
+    spec = [None] * x.ndim
+    spec[0] = "data" if "data" in mesh.axis_names else None
+    spec[time_axis] = "seq"
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(*spec))
+    )
 
 
 # Megatron-style tensor-parallel placement for the transformer/conformer
@@ -126,7 +163,9 @@ def shard_batch(mesh: Mesh, batch, batch_axis: int = 0):
     (the reference's analogue is the per-rank DistributedSampler,
     functions.py:168,196,216).
     """
-    n = mesh.devices.size
+    # batch divisibility is against the DATA axis only: under a multi-axis
+    # (data, seq/model) mesh the other axes replicate the batch dimension
+    n = mesh.shape.get("data", mesh.devices.size)
     nproc = jax.process_count()
 
     def put(x):

@@ -49,16 +49,24 @@ class Trainer:
     seed: int = 0
 
     def __post_init__(self):
-        self.model, self.loss_fn = factory.create_model(self.config)
-        self.tx = optimizers.from_training_params(self.config.training_params)
         if self.mesh is None:
             # training_params["model_parallel"] > 1 adds a Megatron-style
-            # tensor-parallel mesh axis (see parallel/mesh.shard_params)
+            # tensor-parallel mesh axis (see parallel/mesh.shard_params);
+            # "seq_parallel" > 1 adds a "seq" axis sharding encoder
+            # activations along time (sequence parallelism, encoders.py)
             self.mesh = mesh_lib.make_mesh(
                 model_parallel=self.config.training_params.get(
                     "model_parallel", 1
-                )
+                ),
+                seq_parallel=self.config.training_params.get(
+                    "seq_parallel", 1
+                ),
             )
+        seq_mesh = self.mesh if "seq" in self.mesh.axis_names else None
+        self.model, self.loss_fn = factory.create_model(
+            self.config, seq_mesh=seq_mesh
+        )
+        self.tx = optimizers.from_training_params(self.config.training_params)
         self.vn_start_step = self.config.training_params.get("vn_start_step")
         self.encoder_frozen_steps = self.config.training_params.get(
             "encoder_frozen_steps"
