@@ -54,10 +54,12 @@ def rel_query_features(
     s = jnp.sin(ang)[None, None]
     c = jnp.cos(ang)[None, None]
 
-    a = jnp.zeros((b, h, n, d), qv.dtype)
-    a = a.at[..., 0::2].set(alpha * s + beta * c)
-    a = a.at[..., 1::2].set(beta * s - alpha * c)
-    return a
+    # interleave even/odd via stack+reshape: a[..., 0::2], a[..., 1::2] as
+    # strided .at[] updates would lower to scatters (and gathers in the
+    # backward); this is a pure layout op both ways
+    return jnp.stack(
+        [alpha * s + beta * c, beta * s - alpha * c], axis=-1
+    ).reshape(b, h, n, d)
 
 
 def rel_key_features(
@@ -97,31 +99,38 @@ def grouped_rel_query_features(
     d = pos_kernel.shape[0]
     g = group_size
 
+    # Grouped-encoding feature f = head*dhg + l lies in chunk r = f // D and
+    # maps to sinusoid-kernel row f % D (h*dhg == g*d by construction). The
+    # per-(head, chunk) kernel segments are selected by a STATIC one-hot
+    # tensor so the whole computation is two einsums — the earlier
+    # per-head/per-chunk Python loop with strided .at[].add updates lowered
+    # to ~h*g scatter-adds per block (and gathers in the backward), which
+    # dominated the training step's layout-copy traffic on TPU.
+    f = np.arange(h * dhg).reshape(h, dhg)
+    onehot = np.zeros((h, dhg, g, d), np.float32)
+    onehot[
+        np.repeat(np.arange(h), dhg),
+        np.tile(np.arange(dhg), h),
+        (f // d).reshape(-1),
+        (f % d).reshape(-1),
+    ] = 1.0
+    # pos_kernel is indexed [output_k, feature_row] (gamma = qv @ W^T, same
+    # convention as rel_query_features), so contract its SECOND axis
+    w_full = jnp.einsum(
+        "hlrd,kd->hlrk",
+        jnp.asarray(onehot, qv_g.dtype), pos_kernel.astype(qv_g.dtype),
+    )                                                     # (H, dhg, G, D)
+    gamma = jnp.einsum("bhnl,hlrk->bhnrk", qv_g, w_full)  # (B, H, Ng, G, D)
+    alpha = gamma[..., 0::2]
+    beta = gamma[..., 1::2]
+
     wk = jnp.asarray(_freqs(d), qv_g.dtype)               # (D/2,)
     p_pos = (jnp.arange(ng) * g).astype(qv_g.dtype)       # (Ng,)
+    c_r = (g - 1 - g // 2 + hidden_len) - jnp.arange(g).astype(qv_g.dtype)
+    ang = (p_pos[:, None] + c_r[None, :])[..., None] * wk  # (Ng, G, D/2)
+    s = jnp.sin(ang)[None, None]
+    c = jnp.cos(ang)[None, None]
 
-    a = jnp.zeros((b, h, ng, d), qv_g.dtype)
-    for head in range(h):
-        f0 = head * dhg
-        for r in range(g):
-            # global grouped-feature indices f in [f0, f0+dhg) with f//D == r
-            lo = max(r * d, f0)
-            hi = min((r + 1) * d, f0 + dhg)
-            if lo >= hi:
-                continue
-            j_lo, j_hi = lo - f0, hi - f0
-            d_lo, d_hi = lo - r * d, hi - r * d
-            # gamma_r = qv_seg @ W_seg^T: (B, Ng, L) @ (L, D) -> (B, Ng, D)
-            w_seg = pos_kernel[:, d_lo:d_hi].astype(qv_g.dtype)   # (D, L)
-            gamma = jnp.einsum(
-                "bnl,kl->bnk", qv_g[:, head, :, j_lo:j_hi], w_seg
-            )
-            alpha = gamma[..., 0::2]
-            beta = gamma[..., 1::2]
-            c_r = g - 1 - g // 2 + hidden_len - r
-            ang = (p_pos + c_r)[:, None] * wk[None, :]            # (Ng, D/2)
-            s = jnp.sin(ang)[None]
-            c = jnp.cos(ang)[None]
-            a = a.at[:, head, :, 0::2].add(alpha * s + beta * c)
-            a = a.at[:, head, :, 1::2].add(beta * s - alpha * c)
-    return a
+    even = jnp.sum(alpha * s + beta * c, axis=-2)         # (B, H, Ng, D/2)
+    odd = jnp.sum(beta * s - alpha * c, axis=-2)
+    return jnp.stack([even, odd], axis=-1).reshape(b, h, ng, d)
