@@ -45,8 +45,11 @@ def rel_query_features(
     # gamma[b,h,i,:] = qv[b,h,i,:] @ W_h^T, W_h = pos_kernel[:, h*dh:(h+1)*dh]
     w = pos_kernel.reshape(d, h, dh)                      # (D, H, dh)
     gamma = jnp.einsum("bhnd,khd->bhnk", qv, w)           # (B, H, N, D)
-    alpha = gamma[..., 0::2]
-    beta = gamma[..., 1::2]
+    # de-interleave via reshape+index rather than gamma[..., 0::2]: the
+    # transpose of a strided slice is a scatter-add, of a plain slice a pad
+    gpair = gamma.reshape(b, h, n, d // 2, 2)
+    alpha = gpair[..., 0]
+    beta = gpair[..., 1]
 
     wk = jnp.asarray(_freqs(d), qv.dtype)                 # (D/2,)
     pos = (jnp.arange(n) + hidden_len).astype(qv.dtype)   # (N,)
@@ -121,8 +124,10 @@ def grouped_rel_query_features(
         jnp.asarray(onehot, qv_g.dtype), pos_kernel.astype(qv_g.dtype),
     )                                                     # (H, dhg, G, D)
     gamma = jnp.einsum("bhnl,hlrk->bhnrk", qv_g, w_full)  # (B, H, Ng, G, D)
-    alpha = gamma[..., 0::2]
-    beta = gamma[..., 1::2]
+    # reshape+index, not gamma[..., 0::2] — see rel_query_features
+    gpair = gamma.reshape(b, h, ng, g, d // 2, 2)
+    alpha = gpair[..., 0]
+    beta = gpair[..., 1]
 
     wk = jnp.asarray(_freqs(d), qv_g.dtype)               # (D/2,)
     p_pos = (jnp.arange(ng) * g).astype(qv_g.dtype)       # (Ng,)

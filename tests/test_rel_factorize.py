@@ -115,3 +115,48 @@ def test_module_factorized_no_mask():
     np.testing.assert_allclose(
         np.asarray(out_fact), np.asarray(out_skew), atol=2e-4
     )
+
+
+def test_factorized_grad_has_no_scatter():
+    """The factorized paths must stay scatter/gather-free: the earlier
+    per-head/per-chunk .at[].add construction lowered to h*g scatter-adds
+    per grouped block (plus gathers in the backward), which dominated the
+    train step's non-matmul HBM traffic on TPU."""
+    b, t, d, hds, g = 2, 12, 12, 2, 3
+    x = jnp.asarray(
+        np.random.default_rng(5).standard_normal((b, t, d)).astype(np.float32)
+    )
+    mask = padding_mask(t, jnp.array([t, t - 4]))
+
+    def prims_of_grad(mod):
+        params = mod.init(jax.random.PRNGKey(0), x)
+
+        def loss(p):
+            out, _ = mod.apply(p, x, mask)
+            return jnp.sum(out * out)
+
+        jaxpr = jax.make_jaxpr(jax.grad(loss))(params)
+        names = set()
+
+        def walk(jx):
+            for eqn in jx.eqns:
+                names.add(eqn.primitive.name)
+                for v in eqn.params.values():
+                    if hasattr(v, "jaxpr"):
+                        walk(v.jaxpr)
+                    if isinstance(v, (list, tuple)):
+                        for q in v:
+                            if hasattr(q, "jaxpr"):
+                                walk(q.jaxpr)
+        walk(jaxpr.jaxpr)
+        return names
+
+    for mod in (
+        MultiHeadSelfAttention(dim_model=d, num_heads=hds,
+                               relative_pos_enc=True, group_size=g),
+        MultiHeadSelfAttention(dim_model=d, num_heads=hds,
+                               relative_pos_enc=True),
+    ):
+        prims = prims_of_grad(mod)
+        bad = {p for p in prims if p.startswith("scatter")}
+        assert not bad, f"scatter primitives in factorized attention: {bad}"
