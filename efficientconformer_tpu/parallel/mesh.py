@@ -121,6 +121,51 @@ def shard_params(mesh: Mesh, params):
     return jax.tree_util.tree_map_with_path(put, params)
 
 
+def seq_frame_schedule(encoder_params: dict, t_audio: int) -> list:
+    """Frame count at each ``seq_constraint`` point of the encoder for raw
+    audio length ``t_audio``: [post-frontend, post-subsampling, after each
+    block]. Length formulas mirror the reference exactly (frames = T//hop+1,
+    conv subsampling (l-1)//2+1 per layer, VGG l//2, block strides
+    (l-1)//s+1)."""
+    from efficientconformer_tpu.config import resolve_block_configs
+
+    p = encoder_params
+    hop = p["sample_rate"] * p["hop_length_ms"] // 1000
+    f = t_audio // hop + 1
+    schedule = [f]
+    vgg = p["subsampling_module"] == "VGG"
+    for _ in range(p["subsampling_layers"]):
+        f = f // 2 if vgg else (f - 1) // 2 + 1
+    schedule.append(f)
+    for cfg in resolve_block_configs(p):
+        if cfg.stride > 1:
+            f = (f - 1) // cfg.stride + 1
+        schedule.append(f)
+    return schedule
+
+
+def sp_audio_lengths(
+    encoder_params: dict, seq_parallel: int, t_min: int, t_max: int,
+    include_frontend: bool = False,
+) -> list:
+    """Audio lengths in [t_min, t_max] whose whole frame schedule divides by
+    ``seq_parallel`` — i.e. loader bucket lengths for which sequence
+    parallelism constrains EVERY point (mesh.seq_constraint skips indivisible
+    ones). The frontend point (pre-subsampling mel frames) is excluded by
+    default: mel frame counts are T//hop+1 (odd for even T//hop), and the
+    frontend is a small fraction of encoder compute."""
+    p = encoder_params
+    hop = p["sample_rate"] * p["hop_length_ms"] // 1000
+    out = []
+    start = max(t_min - t_min % hop, hop)
+    for t in range(start, t_max + 1, hop):
+        sched = seq_frame_schedule(p, t)
+        pts = sched if include_frontend else sched[1:]
+        if all(f % seq_parallel == 0 for f in pts):
+            out.append(t)
+    return out
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over the data axis."""
     return NamedSharding(mesh, P("data"))

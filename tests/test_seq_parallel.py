@@ -115,3 +115,30 @@ def test_seq_constraint_noop_without_seq_axis():
     dp = mesh_lib.make_mesh(jax.devices())
     y = mesh_lib.seq_constraint(x, dp)
     np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+
+def test_seq_frame_schedule_matches_reality():
+    from tests.test_models import TINY_ENC
+
+    sched = mesh_lib.seq_frame_schedule(TINY_ENC, 20160)
+    # 127 mel frames -> 64 post-subsampling -> 64, 64 (two unstridden blocks)
+    assert sched == [127, 64, 64, 64]
+
+
+def test_sp_audio_lengths_planner():
+    from tests.test_models import TINY_ENC
+
+    lens = mesh_lib.sp_audio_lengths(TINY_ENC, 4, 16000, 32000)
+    assert 20160 in lens
+    for t in lens:
+        sched = mesh_lib.seq_frame_schedule(TINY_ENC, t)
+        assert all(f % 4 == 0 for f in sched[1:]), (t, sched)
+    # the planner finds lengths for the real Small config too (4 subsampled
+    # stages through strided blocks 4 and 9)
+    import json
+    enc = json.load(open("configs/EfficientConformerCTCSmall.json")
+                    )["encoder_params"]
+    lens = mesh_lib.sp_audio_lengths(enc, 2, 150000, 170000)
+    assert lens, "no SP-compatible bucket length in a 20k-sample window"
+    sched = mesh_lib.seq_frame_schedule(enc, lens[0])
+    assert all(f % 2 == 0 for f in sched[1:])
