@@ -216,3 +216,68 @@ def test_mixed_precision_bf16_policy():
         method=Transducer.joint_step,
     )
     assert step_logits.dtype == jnp.float32
+
+
+def test_mixed_precision_train_step_traffic_is_bf16():
+    """Under mixed_precision the train step's LARGE intermediates must be
+    bf16: flax norms with default dtype=None promote bf16 activations
+    against their f32 scale/bias to f32 outputs, silently re-upcasting the
+    whole residual stream and backward pass (fixed in models/layers.py by
+    casting norm outputs back to the input dtype; on v5e the fix was worth
+    +28-40% train throughput). This walks the step jaxpr and bounds the
+    fp32 share of big intermediate outputs."""
+    from tests.test_convergence import make_cfg
+
+    cfg = make_cfg("CTC")
+    cfg.training_params["mixed_precision"] = True
+    trainer = Trainer(cfg)
+    rng = np.random.default_rng(0)
+    b, t = 2, 64000
+    micro = {
+        "audio": rng.standard_normal((b, t)).astype(np.float32) * 0.1,
+        "labels": rng.integers(1, 9, (b, 3)).astype(np.int32),
+        "audio_len": np.full((b,), t, np.int32),
+        "label_len": np.full((b,), 3, np.int32),
+    }
+    state = trainer.init_state(micro)
+    batch = {k: jnp.asarray(v)[None] for k, v in micro.items()}
+
+    import jax
+
+    jaxpr = jax.make_jaxpr(trainer.train_step_fn().__wrapped__)(
+        state, batch, jax.random.PRNGKey(0)
+    )
+    bytes_by_dtype = {}
+
+    from jax._src import source_info_util
+
+    def walk(jx):
+        for eqn in jx.eqns:
+            # the audio frontend is fp32 BY DESIGN (log-mel overflow guard);
+            # exclude it so the ratio measures the encoder/backward stream
+            src = source_info_util.summarize(eqn.source_info)
+            if "ops/audio" in src or "specaugment" in src:
+                continue
+            for v in eqn.outvars:
+                aval = getattr(v, "aval", None)
+                if aval is not None and getattr(aval, "size", 0) > 5_000:
+                    k = str(aval.dtype)
+                    bytes_by_dtype[k] = bytes_by_dtype.get(k, 0) + (
+                        aval.size * aval.dtype.itemsize
+                    )
+            for p in eqn.params.values():
+                if hasattr(p, "jaxpr"):
+                    walk(p.jaxpr)
+                if isinstance(p, (list, tuple)):
+                    for q in p:
+                        if hasattr(q, "jaxpr"):
+                            walk(q.jaxpr)
+
+    walk(jaxpr.jaxpr)
+    bf16 = bytes_by_dtype.get("bfloat16", 0)
+    f32 = bytes_by_dtype.get("float32", 0)
+    assert bf16 > 0, bytes_by_dtype
+    # fp32 remains for: frontend (by design), softmax internals, loss,
+    # parameter gradients. It must not dominate the activation traffic
+    # (before the norm fix, f32 was ~4x bf16 here).
+    assert f32 < 2.5 * bf16, f"fp32 re-upcast regression: {bytes_by_dtype}"
