@@ -337,6 +337,9 @@ def run(args):
         jax.distributed.initialize()
 
     config = load_config(args.config_file)
+    for axis in ("model_parallel", "seq_parallel"):
+        if getattr(args, axis, None):
+            config.training_params[axis] = getattr(args, axis)
     tokenizer = None
 
     if args.create_tokenizer:

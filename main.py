@@ -69,6 +69,15 @@ def build_parser():
                    help="Model validation every 'n' epochs")
     p.add_argument("--profiler", action="store_true",
                    help="Enable profiler (jax.profiler trace under callback_path/profile)")
+    # TPU-native extensions beyond the reference flag surface: mesh axes for
+    # tensor / sequence parallelism (override training_params keys of the
+    # same names; see parallel/mesh.py)
+    p.add_argument("--model_parallel", type=int, default=None,
+                   help="Tensor-parallel mesh axis size (Megatron-style)")
+    p.add_argument("--seq_parallel", type=int, default=None,
+                   help="Sequence-parallel mesh axis size (time-sharded "
+                        "encoder activations; pick bucket lengths with "
+                        "parallel.mesh.sp_audio_lengths)")
     return p
 
 
