@@ -221,6 +221,31 @@ def main():
                          "reference PyTorch CPU side")
     args = ap.parse_args()
 
+    # the tunnelled TPU backend can hang indefinitely at init when the remote
+    # pool is unavailable; probe it in a subprocess with a deadline so the
+    # bench fails loudly (one JSON line with an error field) instead of
+    # hanging the driver
+    import subprocess
+
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            timeout=240, capture_output=True, text=True,
+        )
+        backend_ok = probe.returncode == 0
+        err = (probe.stderr or "").strip().splitlines()[-1:] or [""]
+    except subprocess.TimeoutExpired:
+        backend_ok, err = False, ["backend init timed out after 240s"]
+    if not backend_ok:
+        print(json.dumps({
+            "metric": "ctc_small_batched_greedy_rtf_per_chip",
+            "value": None, "unit": "audio_seconds_per_wall_second",
+            "vs_baseline": None,
+            "error": f"device backend unavailable: {err[0][:200]}",
+        }))
+        return
+
     report = {}
     rtf = bench_tpu_ctc_greedy(report)
     ref_rtf = None if args.skip_baseline else bench_reference_torch_cpu(
