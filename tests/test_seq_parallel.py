@@ -142,3 +142,24 @@ def test_sp_audio_lengths_planner():
     assert lens, "no SP-compatible bucket length in a 20k-sample window"
     sched = mesh_lib.seq_frame_schedule(enc, lens[0])
     assert all(f % 2 == 0 for f in sched[1:])
+
+
+def test_sp_transducer_step_matches_dp():
+    """Sequence parallelism through the Transducer: time-sharded encoder
+    feeding the prediction-net/joint lattice and RNN-T loss."""
+    devs = jax.devices()
+    sp_mesh = mesh_lib.make_mesh(devs, seq_parallel=4)
+    dp_mesh = mesh_lib.make_mesh(devs)
+
+    def run(mesh):
+        cfg = make_cfg("Transducer")
+        trainer = Trainer(cfg, mesh=mesh)
+        micro = micro_batch()
+        state = trainer.init_state(micro)
+        batch = mesh_lib.shard_batch(
+            mesh, {k: v[None] for k, v in micro.items()}, batch_axis=1)
+        step = trainer.train_step_fn()
+        state, m = step(state, batch, jax.random.PRNGKey(0))
+        return float(m["loss"])
+
+    np.testing.assert_allclose(run(sp_mesh), run(dp_mesh), rtol=2e-4)
