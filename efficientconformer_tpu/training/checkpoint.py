@@ -42,14 +42,45 @@ def _payload(state, save_optimizer: bool):
     }
 
 
+_async_ckptr = None
+
+
+def _get_async_ckptr():
+    global _async_ckptr
+    if _async_ckptr is None:
+        import orbax.checkpoint as ocp
+
+        _async_ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _async_ckptr
+
+
+def wait_for_saves() -> None:
+    """Block until every in-flight async checkpoint save has committed.
+    Call before reading a just-saved path, and at end of training."""
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
+
+
 def save(path: str, state, save_optimizer: bool = True,
-         fmt: Optional[str] = None) -> None:
+         fmt: Optional[str] = None, blocking: bool = True) -> None:
+    """``blocking=False`` (or ECF_ASYNC_CKPT=1) with the orbax backend
+    snapshots device arrays and writes in a background thread — the train
+    loop keeps stepping during checkpoint IO (large-model epochs are not
+    paused by multi-GB writes). ``wait_for_saves()`` joins the writers."""
     payload = _payload(state, save_optimizer)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    if _format(fmt) == "orbax":
+    async_save = (not blocking) or os.environ.get("ECF_ASYNC_CKPT") == "1"
+    # async is an orbax capability; an async request promotes the format
+    # (msgpack has no non-blocking path)
+    if _format(fmt) == "orbax" or async_save:
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(path)
+        if async_save:
+            # keep a committed checkpoint at `path` at all times: orbax
+            # writes to a tmp dir and renames on commit
+            _get_async_ckptr().save(path, payload, force=True)
+            return
         with ocp.PyTreeCheckpointer() as ckptr:
             ckptr.save(path, jax.tree.map(lambda x: x, payload), force=True)
         return
@@ -87,6 +118,7 @@ def _orbax_restore(path: str) -> dict:
 
 
 def _restore(path: str, template: dict) -> dict:
+    wait_for_saves()  # a just-async-saved path must be committed first
     if os.path.isdir(path):  # orbax directory checkpoint
         return _orbax_restore(path)
     with open(path, "rb") as f:

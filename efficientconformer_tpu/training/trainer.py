@@ -305,6 +305,11 @@ class Trainer:
             if log_writer is not None:
                 log_writer.add_text("Exceptions", str(e))
             raise
+        finally:
+            # join any in-flight async checkpoint writers (ECF_ASYNC_CKPT)
+            from efficientconformer_tpu.training import checkpoint
+
+            checkpoint.wait_for_saves()
         return state
 
     # ------------------------------------------------------------ checkpoints

@@ -105,3 +105,14 @@ def test_orbax_roundtrip_with_decayed_weights_chain(tmp_path):
     assert os.path.isfile(p)
     loaded2 = checkpoint.load(p, state)
     assert params_equal(state.params, loaded2.params)
+
+
+def test_async_save_restores_identically(tiny_state, tmp_path):
+    """Non-blocking orbax save (blocking=False / ECF_ASYNC_CKPT): the call
+    returns while a background thread writes; wait_for_saves (called
+    implicitly by load) joins it and the restored state is identical."""
+    path = str(tmp_path / "ck_async.ckpt")
+    checkpoint.save(path, tiny_state, blocking=False)
+    restored = checkpoint.load(path, tiny_state)
+    assert params_equal(tiny_state.params, restored.params)
+    assert int(restored.step) == int(tiny_state.step)
