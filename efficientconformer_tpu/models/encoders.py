@@ -114,12 +114,27 @@ class ConformerEncoder(nn.Module):
 
         # Optional rematerialisation: recompute block activations in the
         # backward pass instead of storing them (jax.checkpoint), trading
-        # FLOPs for HBM. Config key: encoder_params["remat"].
-        block_cls = (
-            nn.remat(ConformerBlock, static_argnums=(4,))
-            if p.get("remat")
-            else ConformerBlock
-        )
+        # FLOPs for HBM. Config key: encoder_params["remat"]:
+        #   False          — save everything (no remat)
+        #   True / "full"  — save nothing, recompute the whole block
+        #   "dots"         — save matmul/attention outputs, recompute only the
+        #                    elementwise chains (norms, activations, dropout):
+        #                    removes bandwidth, not MXU FLOPs — the right trade
+        #                    for the HBM-bound train step (NOTES_ROUND3.md)
+        remat_opt = p.get("remat")
+        if remat_opt:
+            import jax
+
+            policy = (
+                jax.checkpoint_policies.dots_saveable
+                if remat_opt == "dots"
+                else None  # save-nothing
+            )
+            block_cls = nn.remat(
+                ConformerBlock, static_argnums=(4,), policy=policy
+            )
+        else:
+            block_cls = ConformerBlock
 
         interctc_probs = []
         for i, cfg in enumerate(blocks):

@@ -28,9 +28,11 @@ def main():
     ap.add_argument("--seconds", type=float, default=16.0)
     ap.add_argument("--batches", type=int, nargs="+", default=[8, 16, 32])
     ap.add_argument("--iters", type=int, default=6)
-    ap.add_argument("--remat", action="store_true",
-                    help="encoder_params['remat']=True: recompute block "
-                         "activations in the backward pass")
+    ap.add_argument("--remat", nargs="?", const="full",
+                    choices=["full", "dots"], default=None,
+                    help="encoder_params['remat']: 'full' recomputes whole "
+                         "blocks, 'dots' saves matmul outputs and recomputes "
+                         "only elementwise chains")
     ap.add_argument("--hlo-dir", default="/tmp/antiscale_hlo")
     args = ap.parse_args()
 
@@ -52,7 +54,9 @@ def main():
         cfg.training_params["mixed_precision"] = True
         cfg.training_params["accumulated_steps"] = 1
         if args.remat:
-            cfg.encoder_params["remat"] = True
+            cfg.encoder_params["remat"] = (
+                True if args.remat == "full" else args.remat
+            )
         t_audio = int(16000 * args.seconds)
         u = max(int(args.seconds * 5.0), 4)
         rng = np.random.default_rng(0)

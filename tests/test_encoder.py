@@ -101,3 +101,30 @@ def test_train_mode_runs_with_rngs():
         mutable=["batch_stats"],
     )[0]
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+@pytest.mark.parametrize("remat", ["dots", True])
+def test_remat_gradients_match_no_remat(remat):
+    """encoder_params['remat'] in {'dots', True} is a pure recompute schedule:
+    forward values and parameter gradients must match the no-remat encoder
+    exactly (same primals, same cotangents)."""
+    import jax.flatten_util
+
+    x = jnp.array(np.random.default_rng(5).standard_normal((2, 3200)), jnp.float32)
+    x_len = jnp.array([3200, 2400])
+
+    def loss_for(params_dict):
+        enc = ConformerEncoder(params=params_dict)
+        vars_ = enc.init(jax.random.PRNGKey(0), x, x_len)
+
+        def loss_fn(v):
+            out, _, _ = enc.apply(v, x, x_len, False)
+            return jnp.sum(out**2) * 1e-3
+
+        val, grad = jax.value_and_grad(loss_fn)(vars_)
+        return float(val), np.asarray(jax.flatten_util.ravel_pytree(grad)[0])
+
+    base_val, base_grad = loss_for(dict(TINY))
+    r_val, r_grad = loss_for({**TINY, "remat": remat})
+    assert abs(base_val - r_val) < 1e-6 * max(1.0, abs(base_val))
+    np.testing.assert_allclose(r_grad, base_grad, rtol=1e-5, atol=1e-6)
