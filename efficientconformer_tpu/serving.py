@@ -1,0 +1,319 @@
+"""Continuous-batching streaming ASR server (slot-based).
+
+``StreamingEncoderSession`` (streaming.py) batches B streams in LOCKSTEP:
+every row pushes the same amount of audio and advances together — the right
+shape for benchmarking, the wrong one for serving, where streams begin, end
+and stall independently. This module adds the production path the reference
+does not have (its evaluation is offline full-utterance only,
+reference models/model.py:457-530): a fixed pool of ``num_slots`` device
+slots behind ONE compiled window-step program, with per-slot admission,
+advance and retirement.
+
+TPU-native design:
+
+* **Static shapes always.** The device step runs over the full slot pool
+  every tick; idle rows carry zeros and their outputs are discarded on the
+  host. One XLA program per server geometry, compiled once, reused for the
+  life of the process — no recompiles when streams come and go.
+* **Per-row window advance is a gather.** Each slot's rolling window shifts
+  by its own amount (0 for idle rows, up to one chunk for running rows):
+  ``concat([buf, new], time)`` then ``take_along_axis`` with a per-row
+  dynamic offset. No data-dependent control flow inside jit.
+* **Bounded host<->device traffic.** Per tick: the new audio chunks up
+  (B x chunk_samples), the argmax ids down (B x window_frames int32). The
+  rolling windows live on device; admission touches one row
+  (``dynamic_update_slice``).
+* **Same numerics as the single-stream session.** Window geometry, tiling
+  alignment and emission bookkeeping are identical to
+  ``StreamingEncoderSession`` — a stream served here produces exactly the
+  tokens ``StreamingCTC`` produces for it alone (tests/test_serving.py),
+  with the same exactness/latency trade documented in streaming.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from efficientconformer_tpu.config import encoder_output_frames
+from efficientconformer_tpu.streaming import (
+    _base_alignment,
+    suggested_history_frames,
+    total_stride,
+)
+
+IDLE, ACTIVE, DRAINING = 0, 1, 2
+
+
+@dataclass
+class _Slot:
+    state: int = IDLE
+    stream_id: Optional[str] = None
+    staged: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float32))
+    received: int = 0        # samples pushed by the client so far
+    uploaded: int = 0        # absolute end of this row's device window
+    emitted: int = 0         # encoder output frames emitted so far
+    placed: bool = False     # first window uploaded
+    x_len: Optional[int] = None   # set at end(); final stream length
+    total_out: Optional[int] = None
+    prev_tok: int = -1       # CTC collapse carry
+    tokens: List[int] = field(default_factory=list)
+
+
+@dataclass
+class TickResult:
+    """Outcome of one server tick: per-stream NEW tokens emitted this tick
+    and the set of streams that finished (their full token sequence)."""
+
+    emitted: Dict[str, List[int]] = field(default_factory=dict)
+    finished: Dict[str, List[int]] = field(default_factory=dict)
+    windows_run: int = 0
+
+
+class StreamingServer:
+    """Slot-pool continuous batching over a streaming CTC encoder.
+
+    ``encode_fn(audio (B, T), x_len (B,)) -> logits | argmax ids`` — the same
+    contract as ``StreamingEncoderSession.encode_fn``; greedy CTC collapse
+    (reference model_ctc.py:90-136 semantics) runs incrementally on the host
+    over the fetched id slices.
+
+    Typical loop::
+
+        srv = StreamingServer(encode_fn, encoder_params, num_slots=16)
+        srv.submit("a"); srv.push("a", samples); ...
+        events = srv.tick()         # call at the chunk cadence
+        srv.end("a")                # client hangup; drained at next ticks
+    """
+
+    def __init__(
+        self,
+        encode_fn: Callable,
+        encoder_params: dict,
+        num_slots: int = 16,
+        chunk_frames: int = 16,
+        history_frames: Optional[int] = None,
+        lookahead_frames: int = 2,
+    ):
+        p = encoder_params
+        self.params = p
+        self.num_slots = num_slots
+        self.hop = p["sample_rate"] * p["hop_length_ms"] // 1000
+        self.stride = total_stride(p)
+        self.samples_per_frame = self.hop * self.stride
+        self.align = _base_alignment(p)
+        if history_frames is None:
+            history_frames = suggested_history_frames(p)
+        self.history_frames = -(-history_frames // self.align) * self.align
+        self.chunk_frames = -(-chunk_frames // self.align) * self.align
+        self.lookahead_frames = lookahead_frames
+        self.window_frames = (
+            self.history_frames + self.chunk_frames + self.lookahead_frames
+        )
+        w_mel = self.window_frames * self.stride
+        self.window_samples = (w_mel - 1) * self.hop
+        self.chunk_samples = self.chunk_frames * self.samples_per_frame
+
+        self._slots = [_Slot() for _ in range(num_slots)]
+        self._by_id: Dict[str, int] = {}       # stream_id -> slot index
+        self._queue: List[str] = []            # submitted, waiting for a slot
+        self._pending: Dict[str, _Slot] = {}   # queued streams buffer here
+        self._results: Dict[str, List[int]] = {}
+
+        self._buf = jnp.zeros((num_slots, self.window_samples), jnp.float32)
+
+        w = self.window_samples
+
+        def _step(buf, new, shift, w_len):
+            ext = jnp.concatenate([buf, new], axis=1)
+            idx = jnp.arange(w)[None, :] + shift[:, None]
+            buf2 = jnp.take_along_axis(ext, idx, axis=1)
+            res = encode_fn(buf2, w_len)
+            frames = res[0] if isinstance(res, (tuple, list)) else res
+            ids = jnp.argmax(frames, axis=-1) if frames.ndim == 3 else frames
+            return buf2, ids
+
+        self._step = jax.jit(_step)
+        self._place = jax.jit(
+            lambda buf, row, i: jax.lax.dynamic_update_slice(
+                buf, row[None, :], (i, 0)
+            )
+        )
+
+    # ------------------------------------------------------------- client API
+
+    def submit(self, stream_id: str):
+        """Register a new stream; admitted to a slot at the next tick with a
+        free one (FIFO)."""
+        if stream_id in self._by_id or stream_id in self._pending:
+            raise ValueError(f"duplicate stream id {stream_id!r}")
+        self._pending[stream_id] = _Slot(state=ACTIVE, stream_id=stream_id)
+        self._queue.append(stream_id)
+
+    def push(self, stream_id: str, samples: np.ndarray):
+        """Append audio samples (1-D float32) to a stream."""
+        slot = self._slot_of(stream_id)
+        if slot.x_len is not None:
+            raise ValueError(f"stream {stream_id!r} already ended")
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        slot.staged = np.concatenate([slot.staged, samples])
+        slot.received += samples.size
+
+    def end(self, stream_id: str, x_len: Optional[int] = None):
+        """Mark end of stream; remaining windows are drained (zero-padded
+        with the real length, exactly like ``StreamingEncoderSession.finish``)
+        over the next ticks."""
+        slot = self._slot_of(stream_id)
+        slot.x_len = int(slot.received if x_len is None else x_len)
+        slot.total_out = int(encoder_output_frames(self.params, slot.x_len))
+        slot.state = DRAINING
+
+    def result(self, stream_id: str) -> Optional[List[int]]:
+        return self._results.get(stream_id)
+
+    @property
+    def active_streams(self) -> int:
+        return sum(s.state != IDLE for s in self._slots)
+
+    @property
+    def queued_streams(self) -> int:
+        return len(self._queue)
+
+    # ---------------------------------------------------------------- serving
+
+    def _slot_of(self, stream_id: str) -> _Slot:
+        if stream_id in self._by_id:
+            return self._slots[self._by_id[stream_id]]
+        if stream_id in self._pending:
+            return self._pending[stream_id]
+        raise KeyError(f"unknown stream {stream_id!r}")
+
+    def _admit(self):
+        for i, s in enumerate(self._slots):
+            if not self._queue:
+                break
+            if s.state == IDLE:
+                sid = self._queue.pop(0)
+                slot = self._pending.pop(sid)
+                self._slots[i] = slot
+                self._by_id[sid] = i
+
+    def _base(self, slot: _Slot) -> int:
+        b = max(0, slot.emitted - self.history_frames)
+        return (b // self.align) * self.align
+
+    def _need(self, base: int) -> int:
+        return base * self.samples_per_frame + self.window_samples
+
+    def _runnable(self, slot: _Slot) -> bool:
+        if slot.state == ACTIVE:
+            return slot.received >= self._need(self._base(slot))
+        if slot.state == DRAINING:
+            return slot.emitted < slot.total_out
+        return False
+
+    def _take_staged(self, slot: _Slot, n: int) -> np.ndarray:
+        take = slot.staged[:n]
+        slot.staged = slot.staged[n:]
+        if take.size < n:
+            take = np.pad(take, (0, n - take.size))
+        return take
+
+    def tick(self) -> TickResult:
+        """Admit queued streams, then run batched window steps until no slot
+        has a complete window pending. Returns the tokens emitted this tick
+        and any finished streams."""
+        self._admit()
+        out = TickResult()
+
+        # degenerate zero-length streams finish immediately
+        for i, s in enumerate(self._slots):
+            if s.state == DRAINING and s.total_out == 0:
+                self._results[s.stream_id] = s.tokens
+                out.finished[s.stream_id] = s.tokens
+                del self._by_id[s.stream_id]
+                self._slots[i] = _Slot()
+
+        # fresh slots: upload the first full window row-by-row
+        for i, s in enumerate(self._slots):
+            if s.state != IDLE and not s.placed and self._runnable(s):
+                window = self._take_staged(s, self.window_samples)
+                self._buf = self._place(
+                    self._buf, jnp.asarray(window), jnp.int32(i)
+                )
+                s.uploaded = self.window_samples
+                s.placed = True
+
+        while True:
+            run = [
+                s.state != IDLE and s.placed and self._runnable(s)
+                for s in self._slots
+            ]
+            if not any(run):
+                break
+            shift = np.zeros(self.num_slots, np.int32)
+            new = np.zeros((self.num_slots, self.chunk_samples), np.float32)
+            w_len = np.full(self.num_slots, self.window_samples, np.int64)
+            meta = {}
+            for i, s in enumerate(self._slots):
+                if not run[i]:
+                    continue
+                base = self._base(s)
+                need = self._need(base)
+                delta = need - s.uploaded
+                assert 0 <= delta <= self.chunk_samples, (delta, base)
+                if delta:
+                    new[i, :delta] = self._take_staged(s, delta)
+                    # gather reads ext[idx + shift]; data sits at buf tail
+                    # only when it fills the chunk row from the left
+                    shift[i] = delta
+                    s.uploaded = need
+                s0 = base * self.samples_per_frame
+                if s.state == DRAINING:
+                    w_len[i] = np.clip(s.x_len - s0, 0, self.window_samples)
+                first = s.emitted - base
+                if (
+                    s.state == DRAINING
+                    and base + self.window_frames >= s.total_out
+                ):
+                    last = s.total_out - base
+                else:
+                    last = self.window_frames - self.lookahead_frames
+                meta[i] = (first, last, base)
+            self._buf, ids = self._step(
+                self._buf, jnp.asarray(new), jnp.asarray(shift),
+                jnp.asarray(w_len),
+            )
+            ids = np.asarray(ids)
+            out.windows_run += 1
+            for i, (first, last, base) in meta.items():
+                s = self._slots[i]
+                news = []
+                for t in range(first, last):
+                    tok = int(ids[i, t])
+                    if tok != 0 and tok != s.prev_tok:
+                        news.append(tok)
+                        s.tokens.append(tok)
+                    s.prev_tok = tok
+                s.emitted = base + last
+                if news:
+                    out.emitted.setdefault(s.stream_id, []).extend(news)
+                if s.state == DRAINING and s.emitted >= s.total_out:
+                    self._results[s.stream_id] = s.tokens
+                    out.finished[s.stream_id] = s.tokens
+                    del self._by_id[s.stream_id]
+                    self._slots[i] = _Slot()
+        return out
+
+    def drain(self, max_ticks: int = 10_000) -> Dict[str, List[int]]:
+        """Tick until every submitted stream has finished (all remaining
+        streams must have been ``end()``-ed). Returns all results."""
+        for _ in range(max_ticks):
+            self.tick()
+            if not self._by_id and not self._queue:
+                return dict(self._results)
+        raise RuntimeError("drain did not converge (un-ended stream?)")
