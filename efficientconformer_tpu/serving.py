@@ -20,14 +20,21 @@ TPU-native design:
   ``concat([buf, new], time)`` then ``take_along_axis`` with a per-row
   dynamic offset. No data-dependent control flow inside jit.
 * **Bounded host<->device traffic.** Per tick: the new audio chunks up
-  (B x chunk_samples), the argmax ids down (B x window_frames int32). The
-  rolling windows live on device; admission touches one row
-  (``dynamic_update_slice``).
+  (B x chunk_samples), token ids down. The rolling windows — and, for the
+  transducer, the whole decode state — live on device; admission touches
+  one row (``dynamic_update_slice``).
 * **Same numerics as the single-stream session.** Window geometry, tiling
   alignment and emission bookkeeping are identical to
   ``StreamingEncoderSession`` — a stream served here produces exactly the
-  tokens ``StreamingCTC`` produces for it alone (tests/test_serving.py),
-  with the same exactness/latency trade documented in streaming.py.
+  tokens the single-stream runtime produces for it alone
+  (tests/test_serving.py), with the same exactness/latency trade documented
+  in streaming.py.
+
+Decoders are pluggable: ``CTCGreedyDecoder`` (default; device argmax, host
+incremental collapse with the reference's semantics, model_ctc.py:90-136)
+and ``TransducerGreedyDecoder`` (the batched on-device greedy loop of
+models/transducer.py with per-row frame ranges; per-stream decode state is
+a device-resident row, reset by template row-write on slot reuse).
 """
 
 from __future__ import annotations
@@ -60,8 +67,6 @@ class _Slot:
     placed: bool = False     # first window uploaded
     x_len: Optional[int] = None   # set at end(); final stream length
     total_out: Optional[int] = None
-    prev_tok: int = -1       # CTC collapse carry
-    tokens: List[int] = field(default_factory=list)
 
 
 @dataclass
@@ -74,13 +79,144 @@ class TickResult:
     windows_run: int = 0
 
 
-class StreamingServer:
-    """Slot-pool continuous batching over a streaming CTC encoder.
+# ---------------------------------------------------------------------------
+# decoders
+# ---------------------------------------------------------------------------
 
-    ``encode_fn(audio (B, T), x_len (B,)) -> logits | argmax ids`` — the same
-    contract as ``StreamingEncoderSession.encode_fn``; greedy CTC collapse
-    (reference model_ctc.py:90-136 semantics) runs incrementally on the host
-    over the fetched id slices.
+
+class CTCGreedyDecoder:
+    """Greedy CTC over the server's window steps: argmax on device (fetch is
+    (B, window_frames) int32), incremental collapse with a per-slot carry on
+    the host — the reference decode semantics (model_ctc.py:90-136) carried
+    across windows, same as streaming.StreamingCTC."""
+
+    def bind(self, server: "StreamingServer"):
+        self._prev = [-1] * server.num_slots
+        self._toks: List[List[int]] = [[] for _ in range(server.num_slots)]
+
+    @staticmethod
+    def device_post(frames):
+        return jnp.argmax(frames, axis=-1) if frames.ndim == 3 else frames
+
+    def consume(self, step_out, metas) -> Dict[int, List[int]]:
+        ids = np.asarray(step_out)
+        news: Dict[int, List[int]] = {}
+        for i, first, last in metas:
+            fresh = []
+            for t in range(first, last):
+                tok = int(ids[i, t])
+                if tok != 0 and tok != self._prev[i]:
+                    fresh.append(tok)
+                    self._toks[i].append(tok)
+                self._prev[i] = tok
+            if fresh:
+                news[i] = fresh
+        return news
+
+    def finalize(self, i: int) -> List[int]:
+        return self._toks[i]
+
+    def reset(self, i: int):
+        self._prev[i] = -1
+        self._toks[i] = []
+
+
+class TransducerGreedyDecoder:
+    """Greedy transducer decoding over the server's window steps: the
+    batched on-device loop (models/transducer.py greedy_decode_stream) runs
+    per step with per-row frame ranges; rows that did not advance get
+    f_start == f_len == 0 and are no-ops. Per-stream decode state (decoder
+    carry, joint state, token buffer) is a device-resident row; slot reuse
+    resets the row from the init template along each leaf's batch axis."""
+
+    def __init__(self, model, variables, max_tokens: int = 256,
+                 max_consec_dec_steps: int = 5):
+        self.model = model
+        self.variables = variables
+        self.max_tokens = max_tokens
+        self.max_consec = max_consec_dec_steps
+
+    def bind(self, server: "StreamingServer"):
+        from efficientconformer_tpu.models.transducer import _greedy_init_state
+
+        b = server.num_slots
+        self._state = _greedy_init_state(
+            self.model, self.variables, b, self.max_tokens
+        )
+        self._n_prev = [0] * b
+
+        def _row_reset(state, template, i):
+            def upd(s, t):
+                # the batch axis is the one sized num_slots (decoder carries
+                # may be (L, B, H) LSTM states with B not leading)
+                for axis in range(s.ndim):
+                    if s.shape[axis] == b:
+                        row = jax.lax.dynamic_slice_in_dim(t, 0, 1, axis)
+                        return jax.lax.dynamic_update_slice_in_dim(
+                            s, row, i, axis
+                        )
+                raise ValueError(f"no batch axis in {s.shape}")
+
+            return jax.tree.map(upd, state, template)
+
+        self._template = jax.tree.map(jnp.copy, self._state)
+        self._row_reset = jax.jit(_row_reset)
+
+    @staticmethod
+    def device_post(frames):
+        return frames
+
+    def consume(self, step_out, metas) -> Dict[int, List[int]]:
+        from efficientconformer_tpu.models.transducer import (
+            greedy_decode_stream,
+        )
+
+        b = step_out.shape[0]
+        f_start = np.zeros(b, np.int32)
+        f_len = np.zeros(b, np.int32)
+        for i, first, last in metas:
+            f_start[i] = first
+            f_len[i] = last
+        self._state = greedy_decode_stream(
+            self.model, self.variables, step_out, jnp.asarray(f_len),
+            self._state, f_start=jnp.asarray(f_start),
+            max_tokens=self.max_tokens,
+            max_consec_dec_steps=self.max_consec,
+        )
+        n_tok = np.asarray(self._state["n_tok"])
+        news: Dict[int, List[int]] = {}
+        for i, _, _ in metas:
+            n = int(n_tok[i])
+            if n > self._n_prev[i]:
+                fresh = np.asarray(
+                    self._state["tokens"][i, self._n_prev[i] : n]
+                )
+                news[i] = [int(t) for t in fresh]
+                self._n_prev[i] = n
+        return news
+
+    def finalize(self, i: int) -> List[int]:
+        n = int(np.asarray(self._state["n_tok"][i]))
+        return [int(t) for t in np.asarray(self._state["tokens"][i, :n])]
+
+    def reset(self, i: int):
+        self._state = self._row_reset(
+            self._state, self._template, jnp.int32(i)
+        )
+        self._n_prev[i] = 0
+
+
+# ---------------------------------------------------------------------------
+# server
+# ---------------------------------------------------------------------------
+
+
+class StreamingServer:
+    """Slot-pool continuous batching over a streaming encoder.
+
+    ``encode_fn(audio (B, T), x_len (B,)) -> logits | frames`` — the same
+    contract as ``StreamingEncoderSession.encode_fn``; what the decoder needs
+    determines which (logits for CTC, encoder frames for the transducer).
 
     Typical loop::
 
@@ -98,6 +234,7 @@ class StreamingServer:
         chunk_frames: int = 16,
         history_frames: Optional[int] = None,
         lookahead_frames: int = 2,
+        decoder=None,
     ):
         p = encoder_params
         self.params = p
@@ -125,8 +262,11 @@ class StreamingServer:
         self._results: Dict[str, List[int]] = {}
 
         self._buf = jnp.zeros((num_slots, self.window_samples), jnp.float32)
+        self._decoder = decoder if decoder is not None else CTCGreedyDecoder()
+        self._decoder.bind(self)
 
         w = self.window_samples
+        post = type(self._decoder).device_post
 
         def _step(buf, new, shift, w_len):
             ext = jnp.concatenate([buf, new], axis=1)
@@ -134,8 +274,7 @@ class StreamingServer:
             buf2 = jnp.take_along_axis(ext, idx, axis=1)
             res = encode_fn(buf2, w_len)
             frames = res[0] if isinstance(res, (tuple, list)) else res
-            ids = jnp.argmax(frames, axis=-1) if frames.ndim == 3 else frames
-            return buf2, ids
+            return buf2, post(frames)
 
         self._step = jax.jit(_step)
         self._place = jax.jit(
@@ -201,6 +340,7 @@ class StreamingServer:
                 slot = self._pending.pop(sid)
                 self._slots[i] = slot
                 self._by_id[sid] = i
+                self._decoder.reset(i)
 
     def _base(self, slot: _Slot) -> int:
         b = max(0, slot.emitted - self.history_frames)
@@ -223,6 +363,14 @@ class StreamingServer:
             take = np.pad(take, (0, n - take.size))
         return take
 
+    def _finish_slot(self, i: int, out: TickResult):
+        s = self._slots[i]
+        toks = self._decoder.finalize(i)
+        self._results[s.stream_id] = toks
+        out.finished[s.stream_id] = toks
+        del self._by_id[s.stream_id]
+        self._slots[i] = _Slot()
+
     def tick(self) -> TickResult:
         """Admit queued streams, then run batched window steps until no slot
         has a complete window pending. Returns the tokens emitted this tick
@@ -233,10 +381,8 @@ class StreamingServer:
         # degenerate zero-length streams finish immediately
         for i, s in enumerate(self._slots):
             if s.state == DRAINING and s.total_out == 0:
-                self._results[s.stream_id] = s.tokens
-                out.finished[s.stream_id] = s.tokens
-                del self._by_id[s.stream_id]
-                self._slots[i] = _Slot()
+                self._finish_slot(i, out)
+        self._admit()
 
         # fresh slots: upload the first full window row-by-row
         for i, s in enumerate(self._slots):
@@ -267,9 +413,9 @@ class StreamingServer:
                 delta = need - s.uploaded
                 assert 0 <= delta <= self.chunk_samples, (delta, base)
                 if delta:
+                    # gather window = ext[shift : shift+W]; the tail reads
+                    # new[:delta], so fill the chunk row from the left
                     new[i, :delta] = self._take_staged(s, delta)
-                    # gather reads ext[idx + shift]; data sits at buf tail
-                    # only when it fills the chunk row from the left
                     shift[i] = delta
                     s.uploaded = need
                 s0 = base * self.samples_per_frame
@@ -284,29 +430,22 @@ class StreamingServer:
                 else:
                     last = self.window_frames - self.lookahead_frames
                 meta[i] = (first, last, base)
-            self._buf, ids = self._step(
+            self._buf, step_out = self._step(
                 self._buf, jnp.asarray(new), jnp.asarray(shift),
                 jnp.asarray(w_len),
             )
-            ids = np.asarray(ids)
             out.windows_run += 1
+            news_map = self._decoder.consume(
+                step_out, [(i, f, l) for i, (f, l, _) in meta.items()]
+            )
             for i, (first, last, base) in meta.items():
                 s = self._slots[i]
-                news = []
-                for t in range(first, last):
-                    tok = int(ids[i, t])
-                    if tok != 0 and tok != s.prev_tok:
-                        news.append(tok)
-                        s.tokens.append(tok)
-                    s.prev_tok = tok
                 s.emitted = base + last
+                news = news_map.get(i)
                 if news:
                     out.emitted.setdefault(s.stream_id, []).extend(news)
                 if s.state == DRAINING and s.emitted >= s.total_out:
-                    self._results[s.stream_id] = s.tokens
-                    out.finished[s.stream_id] = s.tokens
-                    del self._by_id[s.stream_id]
-                    self._slots[i] = _Slot()
+                    self._finish_slot(i, out)
         return out
 
     def drain(self, max_ticks: int = 10_000) -> Dict[str, List[int]]:

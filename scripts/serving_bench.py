@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--lookahead", type=int, default=4)
     ap.add_argument("--stream-seconds", type=float, default=10.0)
     ap.add_argument("--streams", type=int, default=96)
+    ap.add_argument("--decoder", default="ctc", choices=["ctc", "transducer"],
+                    help="transducer uses the config's decoder/joint params "
+                         "and the on-device greedy decode state pool")
     args = ap.parse_args()
 
     import numpy as np
@@ -39,25 +42,51 @@ def main():
     import jax.numpy as jnp
 
     from efficientconformer_tpu.config import load_config
-    from efficientconformer_tpu.models.model_ctc import ModelCTC
     from efficientconformer_tpu.serving import StreamingServer
 
     cfg = load_config(args.config)
     enc = dict(cfg.encoder_params)
     enc["compute_dtype"] = "bfloat16"
-    model = ModelCTC(encoder_params=enc, vocab_size=cfg.vocab_size)
 
     rng = np.random.default_rng(0)
     n = int(args.stream_seconds * enc["sample_rate"])
     probe = jnp.asarray(rng.standard_normal((1, 8000)), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), probe, jnp.array([8000]))
-    encode = jax.jit(
-        lambda a, l: jnp.argmax(model.apply(variables, a, l, False)[0], -1)
-    )
+    decoder = None
+    if args.decoder == "transducer":
+        from efficientconformer_tpu.models.transducer import Transducer
+        from efficientconformer_tpu.serving import TransducerGreedyDecoder
+
+        model = Transducer(
+            encoder_params=enc, decoder_params=cfg.decoder_params,
+            joint_params=cfg.joint_params, vocab_size=cfg.vocab_size,
+        )
+        variables = model.init(
+            jax.random.PRNGKey(0), probe, jnp.array([[1, 2, 3]]),
+            jnp.array([8000]), jnp.array([3]), False,
+        )
+        encode = jax.jit(
+            lambda a, l: model.apply(
+                variables, a, l, False, method=Transducer.encode
+            )
+        )
+        decoder = TransducerGreedyDecoder(model, variables)
+    else:
+        from efficientconformer_tpu.models.model_ctc import ModelCTC
+
+        model = ModelCTC(encoder_params=enc, vocab_size=cfg.vocab_size)
+        variables = model.init(
+            jax.random.PRNGKey(0), probe, jnp.array([8000])
+        )
+        encode = jax.jit(
+            lambda a, l: jnp.argmax(
+                model.apply(variables, a, l, False)[0], -1
+            )
+        )
 
     srv = StreamingServer(
         encode, enc, num_slots=args.slots, chunk_frames=args.chunk_frames,
         history_frames=args.history, lookahead_frames=args.lookahead,
+        decoder=decoder,
     )
     print(
         f"slots={args.slots} window={srv.window_samples/enc['sample_rate']:.2f}s "

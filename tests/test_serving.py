@@ -124,3 +124,62 @@ def test_zero_length_stream():
     srv.end("empty")
     res = srv.drain()
     assert res["empty"] == want
+
+
+def test_transducer_server_matches_single_stream():
+    """Transducer decoding through the slot pool: device decode state rows
+    survive slot churn and match the single-stream StreamingTransducer."""
+    from efficientconformer_tpu.models.transducer import Transducer
+    from efficientconformer_tpu.serving import TransducerGreedyDecoder
+    from tests.test_models import TINY_DEC, TINY_JOINT
+
+    model = Transducer(
+        encoder_params=CAUSAL_ENC, decoder_params=TINY_DEC,
+        joint_params=TINY_JOINT, vocab_size=9,
+    )
+    rng = np.random.default_rng(7)
+    probe = jnp.asarray(rng.standard_normal((1, 16000)), jnp.float32) * 0.1
+    variables = model.init(
+        jax.random.PRNGKey(2), probe, jnp.array([[1, 2, 3]]),
+        jnp.array([16000]), jnp.array([3]), False,
+    )
+    encode = jax.jit(
+        lambda a, l: model.apply(variables, a, l, False, method=Transducer.encode)
+    )
+    chunk, look, max_tokens = 9, 2, 64
+
+    lengths = [24000, 10000, 17000]
+    audios = [
+        (rng.standard_normal(n) * 0.1).astype(np.float32) for n in lengths
+    ]
+
+    def oracle(a):
+        sess = S.StreamingEncoderSession(
+            encode_fn=encode, encoder_params=CAUSAL_ENC, batch_size=1,
+            chunk_frames=chunk, lookahead_frames=look,
+        )
+        dec = S.StreamingTransducer(
+            model=model, variables=variables, session=sess,
+            max_tokens=max_tokens,
+        )
+        dec.push(a[None, :])
+        toks, n = dec.finish(np.array([a.size]))
+        return toks[0, : int(n[0])].tolist()
+
+    want = {f"t{i}": oracle(a) for i, a in enumerate(audios)}
+
+    srv = StreamingServer(
+        encode, CAUSAL_ENC, num_slots=2, chunk_frames=chunk,
+        lookahead_frames=look,
+        decoder=TransducerGreedyDecoder(model, variables, max_tokens=max_tokens),
+    )
+    # staggered: t0+t1 first (fills the 2-slot pool), t2 queued behind them
+    srv.submit("t0"); srv.push("t0", audios[0][:9000])
+    srv.submit("t1"); srv.push("t1", audios[1]); srv.end("t1")
+    srv.tick()
+    srv.submit("t2"); srv.push("t2", audios[2]); srv.end("t2")
+    srv.push("t0", audios[0][9000:]); srv.end("t0")
+    got = srv.drain()
+    assert set(got) == set(want)
+    for sid in want:
+        assert got[sid] == want[sid], sid
