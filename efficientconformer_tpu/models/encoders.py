@@ -19,7 +19,7 @@ from flax import linen as nn
 
 from efficientconformer_tpu.config import resolve_block_configs
 from efficientconformer_tpu.models.blocks import ConformerBlock
-from efficientconformer_tpu.models.layers import Dense
+from efficientconformer_tpu.models.layers import Dense, FlattenDense
 from efficientconformer_tpu.models.modules import (
     SUBSAMPLING,
     AudioPreprocessing,
@@ -77,15 +77,22 @@ class ConformerEncoder(nn.Module):
         seq_mesh = p.get("seq_mesh")
         x = seq_constraint(x, seq_mesh)
 
-        # Subsampling
-        x, x_len = SUBSAMPLING[p["subsampling_module"]](
+        # Subsampling. The 2-D modules keep their (B, T, M, C) conv layout
+        # (flatten=False) so the input projection below can consume it as a
+        # 1xM conv — see layers.FlattenDense for why (layout-copy traffic at
+        # the flatten boundary on TPU).
+        sub_cls = SUBSAMPLING[p["subsampling_module"]]
+        sub_kwargs = dict(
             num_layers=p["subsampling_layers"],
             filters=p["subsampling_filters"],
             kernel_size=p["subsampling_kernel_size"],
             norm=p["subsampling_norm"],
             act=p["subsampling_act"],
             name="subsampling",
-        )(x, x_len, train)
+        )
+        if "flatten" in sub_cls.__dataclass_fields__:
+            sub_kwargs["flatten"] = False
+        x, x_len = sub_cls(**sub_kwargs)(x, x_len, train)
         x = seq_constraint(x, seq_mesh)
 
         # Padding / streaming mask. The encoder default is full context
@@ -103,9 +110,13 @@ class ConformerEncoder(nn.Module):
         else:
             mask = streaming_mask(t_frames, x_len, left, right)
 
-        # Linear projection + dropout
+        # Linear projection + dropout (FlattenDense: same params/math as
+        # Dense on the flattened features, applied in the conv layout)
         dim0 = blocks[0].dim_model
-        x = Dense(dim0, name="linear")(x)
+        if x.ndim == 4:
+            x = FlattenDense(dim0, name="linear")(x)
+        else:
+            x = Dense(dim0, name="linear")(x)
         x = nn.Dropout(p["Pdrop"], deterministic=not train)(x)
 
         # Absolute positional encoding (only when not using rel-pos attention)

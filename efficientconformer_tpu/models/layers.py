@@ -65,6 +65,43 @@ class Dense(nn.Module):
         return y
 
 
+class FlattenDense(nn.Module):
+    """Dense over the flattened trailing (freq, channel) axes of a 4-D
+    subsampling output, applied as a 1xM VALID convolution on the
+    UNFLATTENED (B, T, M, C) tensor.
+
+    Parameters are identical to ``Dense(features)`` on ``reshape(b, t, m*c)``
+    — kernel (M*C, features) with flatten index m*C + c, same init, same
+    checkpoint tree — and so is the math (the conv kernel is the Dense kernel
+    reshaped (1, M, C, features)). The difference is purely physical: on TPU
+    the explicit (B,T,M,C)->(B,T,M*C) reshape between a conv output layout
+    and a matmul operand lowered to ~1.5 GB/step of layout copies at the
+    encoder input boundary (CTC Large b=8x16s, HLO attribution
+    'encoder/subsampling/reshape'); feeding the conv layout straight into
+    another conv avoids the round trip."""
+
+    features: int
+    use_bias: bool = True
+    vn_std: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, t, m, c = x.shape
+        fan_in = m * c
+        bound = 1.0 / math.sqrt(fan_in)
+        kernel = self.param("kernel", _uniform_init(bound), (fan_in, self.features))
+        kernel = _maybe_add_vn(self, kernel, self.vn_std, "kernel")
+        k4 = kernel.reshape(1, m, c, self.features).astype(x.dtype)
+        y = jax.lax.conv_general_dilated(
+            x, k4, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )[:, :, 0, :]
+        if self.use_bias:
+            bias = self.param("bias", _uniform_init(bound), (self.features,))
+            y = y + bias.astype(x.dtype)
+        return y
+
+
 class Conv1d(nn.Module):
     """1D convolution over (B, T, C), with 'same'/'causal'/'valid' pre-padding
     (reference models/layers.py:69-136) and optional VN."""

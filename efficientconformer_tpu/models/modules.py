@@ -125,6 +125,7 @@ class Conv2dSubsampling(nn.Module):
     kernel_size: int
     norm: str
     act: str
+    flatten: bool = True
 
     @nn.compact
     def __call__(self, x, x_len, train: bool):
@@ -144,6 +145,8 @@ class Conv2dSubsampling(nn.Module):
             x = act(x)
             if x_len is not None:
                 x_len = (x_len - 1) // 2 + 1
+        if not self.flatten:
+            return x, x_len      # (B, T, M, C): see layers.FlattenDense
         b, t, m, c = x.shape
         return x.reshape(b, t, m * c), x_len
 
@@ -168,6 +171,7 @@ class Conv2dPoolSubsampling(nn.Module):
     kernel_size: int
     norm: str
     act: str
+    flatten: bool = True
 
     @nn.compact
     def __call__(self, x, x_len, train: bool):
@@ -186,6 +190,8 @@ class Conv2dPoolSubsampling(nn.Module):
             x = act(x)
             if x_len is not None:
                 x_len = (x_len - 1) // 2 + 1
+        if not self.flatten:
+            return x, x_len      # (B, T, M, C): see layers.FlattenDense
         b, t, m, c = x.shape
         return x.reshape(b, t, m * c), x_len
 
@@ -199,6 +205,7 @@ class VGGSubsampling(nn.Module):
     kernel_size: int
     norm: str
     act: str
+    flatten: bool = True
 
     @nn.compact
     def __call__(self, x, x_len, train: bool):
@@ -218,6 +225,8 @@ class VGGSubsampling(nn.Module):
             x = _max_pool_2d(x, (2, 2), (2, 2), ((0, 0), (0, 0)))
             if x_len is not None:
                 x_len = x_len // 2
+        if not self.flatten:
+            return x, x_len      # (B, T, M, C): see layers.FlattenDense
         b, t, m, c = x.shape
         return x.reshape(b, t, m * c), x_len
 

@@ -105,10 +105,23 @@ def grouped_rel_query_features(
     # Grouped-encoding feature f = head*dhg + l lies in chunk r = f // D and
     # maps to sinusoid-kernel row f % D (h*dhg == g*d by construction). The
     # per-(head, chunk) kernel segments are selected by a STATIC one-hot
-    # tensor so the whole computation is two einsums — the earlier
+    # tensor so the whole computation stays in einsums — the earlier
     # per-head/per-chunk Python loop with strided .at[].add updates lowered
     # to ~h*g scatter-adds per block (and gathers in the backward), which
     # dominated the training step's layout-copy traffic on TPU.
+    #
+    # The chunk phases are then FOLDED INTO THE WEIGHTS: the angle
+    # (G p + c_r) w_k separates as sin(Gp w)cos(c_r w) + cos(Gp w)sin(c_r w),
+    # and the c_r tables are static, so with alpha_r s + beta_r c summed over
+    # chunks
+    #     even = S.P + C.Q,   odd = S.Q - C.P,
+    #     P = sum_r (alpha_r X_r - beta_r Y_r),  Q = sum_r (alpha_r Y_r +
+    #     beta_r X_r),   X_r = cos(c_r w), Y_r = sin(c_r w)
+    # P and Q are linear in qv with static coefficients — two (B, H, Ng, D/2)
+    # einsum outputs instead of the (B, H, Ng, G, D) per-chunk gamma tensor:
+    # 1/G the matmul FLOPs and 1/G the intermediate bytes of the chunk-sum
+    # formulation (the bf16[B,H,Ng,G,D/2,2] tensors this replaced were among
+    # the largest non-matmul HLO traffic at stage-1-grouped configs).
     f = np.arange(h * dhg).reshape(h, dhg)
     onehot = np.zeros((h, dhg, g, d), np.float32)
     onehot[
@@ -117,25 +130,41 @@ def grouped_rel_query_features(
         (f // d).reshape(-1),
         (f % d).reshape(-1),
     ] = 1.0
-    # pos_kernel is indexed [output_k, feature_row] (gamma = qv @ W^T, same
-    # convention as rel_query_features), so contract its SECOND axis
-    w_full = jnp.einsum(
-        "hlrd,kd->hlrk",
-        jnp.asarray(onehot, qv_g.dtype), pos_kernel.astype(qv_g.dtype),
-    )                                                     # (H, dhg, G, D)
-    gamma = jnp.einsum("bhnl,hlrk->bhnrk", qv_g, w_full)  # (B, H, Ng, G, D)
-    # reshape+index, not gamma[..., 0::2] — see rel_query_features
-    gpair = gamma.reshape(b, h, ng, g, d // 2, 2)
-    alpha = gpair[..., 0]
-    beta = gpair[..., 1]
 
-    wk = jnp.asarray(_freqs(d), qv_g.dtype)               # (D/2,)
+    wk = _freqs(d)                                        # (D/2,)
+    c_r = (g - 1 - g // 2 + hidden_len) - np.arange(g)    # (G,)
+    ang_r = c_r[:, None] * wk[None, :]                    # (G, D/2)
+    x_r = np.cos(ang_r)
+    y_r = np.sin(ang_r)
+    # static fold: coeff[r, k_sin, j] maps kernel output (r, 2j / 2j+1) to
+    # the P (k_sin=0) and Q (k_sin=1) accumulators
+    coeff = np.zeros((g, d, 2, d // 2), np.float32)
+    j = np.arange(d // 2)
+    for r in range(g):
+        coeff[r, 2 * j, 0, j] = x_r[r]                    # alpha -> P
+        coeff[r, 2 * j + 1, 0, j] = -y_r[r]               # beta  -> P
+        coeff[r, 2 * j, 1, j] = y_r[r]                    # alpha -> Q
+        coeff[r, 2 * j + 1, 1, j] = x_r[r]                # beta  -> Q
+
+    # pos_kernel is indexed [output_k, feature_row] (gamma = qv @ W^T, same
+    # convention as rel_query_features), so contract its SECOND axis; the
+    # onehot/coeff contractions are tiny weight-side ops, fused at compile
+    w_pq = jnp.einsum(
+        "hlrd,kd,rksj->hlsj",
+        jnp.asarray(onehot, qv_g.dtype),
+        pos_kernel.astype(qv_g.dtype),
+        jnp.asarray(coeff, qv_g.dtype),
+    )                                                     # (H, dhg, 2, D/2)
+    pq = jnp.einsum("bhnl,hlsj->bhnsj", qv_g, w_pq)       # (B, H, Ng, 2, D/2)
+    p_acc = pq[..., 0, :]
+    q_acc = pq[..., 1, :]
+
+    wk_j = jnp.asarray(wk, qv_g.dtype)
     p_pos = (jnp.arange(ng) * g).astype(qv_g.dtype)       # (Ng,)
-    c_r = (g - 1 - g // 2 + hidden_len) - jnp.arange(g).astype(qv_g.dtype)
-    ang = (p_pos[:, None] + c_r[None, :])[..., None] * wk  # (Ng, G, D/2)
+    ang = p_pos[:, None] * wk_j[None, :]                  # (Ng, D/2)
     s = jnp.sin(ang)[None, None]
     c = jnp.cos(ang)[None, None]
 
-    even = jnp.sum(alpha * s + beta * c, axis=-2)         # (B, H, Ng, D/2)
-    odd = jnp.sum(beta * s - alpha * c, axis=-2)
+    even = s * p_acc + c * q_acc                          # (B, H, Ng, D/2)
+    odd = s * q_acc - c * p_acc
     return jnp.stack([even, odd], axis=-1).reshape(b, h, ng, d)

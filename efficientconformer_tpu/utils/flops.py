@@ -48,6 +48,40 @@ def _dot_flops(eqn) -> int:
     return 2 * batch * m * n * k
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _valid_tap_fraction(
+    in_ext: int, k_ext: int, o_ext: int, stride: int,
+    pad_lo: int, lhs_dil: int, rhs_dil: int,
+) -> float:
+    """Fraction of the nominal out*kernel tap pairs on one spatial axis that
+    actually land on input (not padding / dilation holes).
+
+    Matters for the convs autodiff emits: the input-gradient of a conv whose
+    kernel spans the whole axis (e.g. layers.FlattenDense's 1xM projection)
+    lowers to a transposed conv where only 1 of K taps is real — the nominal
+    count would overstate the step's FLOPs by the kernel extent (observed:
+    +2.5 TF/step phantom FLOPs on CTC Large). Ordinary convs keep the
+    nominal count (SAME-padding edge taps ARE materialised MXU work): the
+    correction applies only when the dilated kernel is wider than the
+    dilated input — the degenerate transposed-conv regime, where XLA
+    rewrites to a matmul and the nominal taps are pure phantom."""
+    dil_in = (in_ext - 1) * lhs_dil + 1
+    dil_k = (k_ext - 1) * rhs_dil + 1
+    if dil_k <= dil_in:
+        return 1.0
+    taps = 0
+    for o in range(o_ext):
+        base = o * stride - pad_lo
+        for k in range(k_ext):
+            pos = base + k * rhs_dil
+            if 0 <= pos < dil_in and pos % lhs_dil == 0:
+                taps += 1
+    return taps / float(o_ext * k_ext)
+
+
 def _conv_flops(eqn) -> int:
     lhs = eqn.invars[0].aval  # input
     rhs = eqn.invars[1].aval  # kernel
@@ -62,7 +96,20 @@ def _conv_flops(eqn) -> int:
             spatial *= kshape[d]
     in_per_group = kshape[dn.rhs_spec[1]]
     out_elems = int(np.prod(out.shape))
-    return 2 * out_elems * spatial * in_per_group // max(bgc, 1)
+    frac = 1.0
+    strides = eqn.params.get("window_strides")
+    pads = eqn.params.get("padding")
+    lhs_dil = eqn.params.get("lhs_dilation") or (1,) * len(strides)
+    rhs_dil = eqn.params.get("rhs_dilation") or (1,) * len(strides)
+    for ax in range(len(strides)):
+        frac *= _valid_tap_fraction(
+            int(lhs.shape[dn.lhs_spec[2 + ax]]),
+            int(rhs.shape[dn.rhs_spec[2 + ax]]),
+            int(out.shape[dn.out_spec[2 + ax]]),
+            int(strides[ax]), int(pads[ax][0]),
+            int(lhs_dil[ax]), int(rhs_dil[ax]),
+        )
+    return int(2 * out_elems * spatial * in_per_group * frac) // max(bgc, 1)
 
 
 def count_flops(jaxpr, while_trip_estimate: int = 0) -> int:
