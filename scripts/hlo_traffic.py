@@ -60,6 +60,15 @@ def main():
                 continue
             dtype, dims, op = m.groups()
             b = shape_bytes(dtype, dims)
+            # In-place updates: a fusion whose backend_config declares
+            # aliasing_operands writes only its update window, not the whole
+            # output (e.g. dynamic-update-slice fusions) — counting the full
+            # output shape here overstated the subsampling boundary by ~3 GB
+            # in round 3 until cost_analysis bytes-accessed contradicted it.
+            # Rank them separately at zero credited bytes.
+            if '"aliasing_operands"' in line:
+                op += "(in-place)"
+                b = 0
             total += b
             key = f"{op:12s} {dtype}[{dims}]"
             by_shape[key] += b

@@ -72,12 +72,19 @@ def test_two_process_train_step_matches_single_process(tmp_path):
     assert results[0][5] == results[1][5]
 
     # single-process reference on a 4-device mesh: same step AND same
-    # evaluate() output as the 2-process run (VERDICT r2 item #7)
+    # evaluate() output as the 2-process run (VERDICT r2 item #7).
+    # Tolerance note: this was bit-for-bit while every weight gradient was a
+    # dot_general; the encoder input projection is now a conv
+    # (layers.FlattenDense), and XLA's conv weight-grad reduction order is
+    # shape-dependent, so splitting the batch across processes reassociates
+    # the fp32 sum — observed drift ~4e-5 rel after the test's steps. DP
+    # equality up to float reassociation is the correct contract for
+    # conv-bearing models; the cross-process asserts above stay at 1e-6.
     from tests.mh_worker import run_all
 
     loss_ref, checksum_ref, wer_ref, n_ref, digest_ref = run_all(0, 1)
-    assert results[0][0] == pytest.approx(loss_ref, rel=1e-5)
-    assert results[0][1] == pytest.approx(checksum_ref, rel=1e-5)
+    assert results[0][0] == pytest.approx(loss_ref, rel=3e-4)
+    assert results[0][1] == pytest.approx(checksum_ref, rel=3e-4)
     assert results[0][3] == pytest.approx(wer_ref, abs=1e-9)
     assert (results[0][4], results[0][5]) == (n_ref, digest_ref)
 
