@@ -81,3 +81,24 @@ class JointNetwork(nn.Module):
             g = self.linear_decoder(g)
         joint = jnp.concatenate([f, g], axis=-1) if self.mode == "concat" else f + g
         return self.linear_joint(self._act(joint))
+
+    def project_encoder(self, f):
+        """Pre-project encoder frames for the row path: f (B, T, De) ->
+        (B, T, Dj). Hoisted out of decode loops so ``row`` re-reads the
+        projection instead of recomputing it per emission."""
+        return self.linear_encoder(f) if self.linear_encoder is not None else f
+
+    def row(self, pf, g):
+        """Row mode for label-looping greedy decode: one decoder state against
+        ALL encoder frames at once. pf (B, T, Dj) pre-projected frames
+        (``project_encoder``), g (B, Dd) -> (B, T, V). Numerically identical
+        to calling ``step`` per frame (same projections, same order)."""
+        if self.linear_encoder is not None:
+            g = self.linear_decoder(g)
+        if self.mode == "concat":
+            t = pf.shape[1]
+            g_b = jnp.broadcast_to(g[:, None, :], (g.shape[0], t, g.shape[-1]))
+            joint = jnp.concatenate([pf, g_b], axis=-1)
+        else:
+            joint = pf + g[:, None, :]
+        return self.linear_joint(self._act(joint))

@@ -88,30 +88,40 @@ class CTCGreedyDecoder:
     """Greedy CTC over the server's window steps: argmax on device (fetch is
     (B, window_frames) int32), incremental collapse with a per-slot carry on
     the host — the reference decode semantics (model_ctc.py:90-136) carried
-    across windows, same as streaming.StreamingCTC."""
+    across windows, same as streaming.StreamingCTC.
+
+    ``consume`` only BUFFERS the (device array, metas) pair — no host sync —
+    so the server can enqueue every window step of a tick back-to-back and
+    the device pipeline stays full; ``collect`` resolves the whole tick's
+    buffered steps (in order — the collapse carry is order-sensitive) with
+    the transfers XLA has already pipelined."""
 
     def bind(self, server: "StreamingServer"):
         self._prev = [-1] * server.num_slots
         self._toks: List[List[int]] = [[] for _ in range(server.num_slots)]
+        self._pending: List[tuple] = []
 
     @staticmethod
     def device_post(frames):
         return jnp.argmax(frames, axis=-1) if frames.ndim == 3 else frames
 
-    def consume(self, step_out, metas) -> Dict[int, List[int]]:
-        ids = np.asarray(step_out)
+    def consume(self, step_out, metas):
+        self._pending.append((step_out, metas))
+
+    def collect(self) -> Dict[int, List[int]]:
         news: Dict[int, List[int]] = {}
-        for i, first, last in metas:
-            fresh = []
-            for t in range(first, last):
-                tok = int(ids[i, t])
-                if tok != 0 and tok != self._prev[i]:
-                    fresh.append(tok)
-                    self._toks[i].append(tok)
-                self._prev[i] = tok
-            if fresh:
-                news[i] = fresh
-        return news
+        for step_out, metas in self._pending:
+            ids = np.asarray(step_out)
+            for i, first, last in metas:
+                fresh = news.setdefault(i, [])
+                for t in range(first, last):
+                    tok = int(ids[i, t])
+                    if tok != 0 and tok != self._prev[i]:
+                        fresh.append(tok)
+                        self._toks[i].append(tok)
+                    self._prev[i] = tok
+        self._pending = []
+        return {i: v for i, v in news.items() if v}
 
     def finalize(self, i: int) -> List[int]:
         return self._toks[i]
@@ -144,6 +154,8 @@ class TransducerGreedyDecoder:
             self.model, self.variables, b, self.max_tokens
         )
         self._n_prev = [0] * b
+        self._host_n = None
+        self._host_toks = None
 
         def _row_reset(state, template, i):
             def upd(s, t):
@@ -166,7 +178,9 @@ class TransducerGreedyDecoder:
     def device_post(frames):
         return frames
 
-    def consume(self, step_out, metas) -> Dict[int, List[int]]:
+    def consume(self, step_out, metas):
+        """Launch the decode of this window step's frames; async — the new
+        device state chains on the previous one, no host sync here."""
         from efficientconformer_tpu.models.transducer import (
             greedy_decode_stream,
         )
@@ -183,19 +197,23 @@ class TransducerGreedyDecoder:
             max_tokens=self.max_tokens,
             max_consec_dec_steps=self.max_consec,
         )
-        n_tok = np.asarray(self._state["n_tok"])
+        self._host_n = None  # cache is stale until the next collect()
+
+    def collect(self) -> Dict[int, List[int]]:
+        n_tok = np.array(self._state["n_tok"])  # writable copy: reset() zeroes rows
+        tokens = np.asarray(self._state["tokens"])
+        self._host_n, self._host_toks = n_tok, tokens
         news: Dict[int, List[int]] = {}
-        for i, _, _ in metas:
+        for i in range(n_tok.shape[0]):
             n = int(n_tok[i])
             if n > self._n_prev[i]:
-                fresh = np.asarray(
-                    self._state["tokens"][i, self._n_prev[i] : n]
-                )
-                news[i] = [int(t) for t in fresh]
+                news[i] = [int(t) for t in tokens[i, self._n_prev[i] : n]]
                 self._n_prev[i] = n
         return news
 
     def finalize(self, i: int) -> List[int]:
+        if self._host_n is not None:
+            return [int(t) for t in self._host_toks[i, : int(self._host_n[i])]]
         n = int(np.asarray(self._state["n_tok"][i]))
         return [int(t) for t in np.asarray(self._state["tokens"][i, :n])]
 
@@ -204,6 +222,8 @@ class TransducerGreedyDecoder:
             self._state, self._template, jnp.int32(i)
         )
         self._n_prev[i] = 0
+        if self._host_n is not None:
+            self._host_n[i] = 0  # keep the finalize cache row consistent
 
 
 # ---------------------------------------------------------------------------
@@ -377,6 +397,7 @@ class StreamingServer:
         and any finished streams."""
         self._admit()
         out = TickResult()
+        finish_order: List[int] = []
 
         # degenerate zero-length streams finish immediately
         for i, s in enumerate(self._slots):
@@ -435,17 +456,29 @@ class StreamingServer:
                 jnp.asarray(w_len),
             )
             out.windows_run += 1
-            news_map = self._decoder.consume(
+            # async: buffers/launches only — the tick's window steps enqueue
+            # back-to-back and the device pipeline stays full
+            self._decoder.consume(
                 step_out, [(i, f, l) for i, (f, l, _) in meta.items()]
             )
             for i, (first, last, base) in meta.items():
                 s = self._slots[i]
                 s.emitted = base + last
-                news = news_map.get(i)
-                if news:
-                    out.emitted.setdefault(s.stream_id, []).extend(news)
-                if s.state == DRAINING and s.emitted >= s.total_out:
-                    self._finish_slot(i, out)
+                if (
+                    s.state == DRAINING
+                    and s.emitted >= s.total_out
+                    and i not in finish_order
+                ):
+                    finish_order.append(i)  # not runnable anymore; freed below
+
+        # one host sync for the whole tick
+        news_map = self._decoder.collect()
+        for i, news in news_map.items():
+            s = self._slots[i]
+            if s.stream_id is not None and news:
+                out.emitted.setdefault(s.stream_id, []).extend(news)
+        for i in finish_order:
+            self._finish_slot(i, out)
         return out
 
     def drain(self, max_ticks: int = 10_000) -> Dict[str, List[int]]:

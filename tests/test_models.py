@@ -125,6 +125,38 @@ def test_transducer_batched_greedy_matches_reference_loop():
         assert got == want[b], (b, got, want[b])
 
 
+def test_transducer_label_looping_matches_frame_sync():
+    """The label-looping greedy loop (one iteration per emission, blanks
+    skipped via batched joint rows) is an exact reimplementation of the
+    frame-synchronous state machine — tokens and counts identical, full
+    utterance and chunk-streamed."""
+    from efficientconformer_tpu.models.transducer import greedy_decode_stream
+
+    model, variables, x, x_len, y, y_len = build_tiny_transducer()
+    tf_, nf = greedy_decode(model, variables, x, x_len, max_tokens=128,
+                            max_consec_dec_steps=5, algo="frame")
+    tl_, nl = greedy_decode(model, variables, x, x_len, max_tokens=128,
+                            max_consec_dec_steps=5, algo="label")
+    assert (nf == nl).all() and (tf_ == tl_).all()
+
+    # chunk-streamed label-looping == full-utterance frame-sync
+    f, f_len, _ = model.apply(variables, x, x_len, False,
+                              method=Transducer.encode)
+    half = jnp.minimum(f_len, f.shape[1] // 2).astype(jnp.int32)
+    st = greedy_decode_stream(model, variables, f, half, state=None,
+                              max_tokens=128, algo="label")
+    st = greedy_decode_stream(model, variables, f, f_len, state=st,
+                              f_start=half, max_tokens=128, algo="label")
+    assert (st["n_tok"] == nf).all() and (st["tokens"] == tf_).all()
+
+    # tight token budget: both algos must clip identically
+    tf2, nf2 = greedy_decode(model, variables, x, x_len, max_tokens=3,
+                             max_consec_dec_steps=2, algo="frame")
+    tl2, nl2 = greedy_decode(model, variables, x, x_len, max_tokens=3,
+                             max_consec_dec_steps=2, algo="label")
+    assert (nf2 == nl2).all() and (tf2 == tl2).all()
+
+
 def test_lm_forward_and_ce():
     lm = LanguageModel(
         lm_params={"arch": "RNN", "num_layers": 1, "dim_model": 8, "vocab_size": 7},
