@@ -51,8 +51,20 @@ def beam_search(
     ngram: Optional[ArpaLM] = None,
     ngram_alpha: float = 0.0,
     ngram_beta: float = 0.0,
+    ref_topk: bool = False,
 ) -> List[List[int]]:
-    """Returns token sequences for the batch."""
+    """Returns token sequences for the batch.
+
+    ``ref_topk=True`` reproduces the reference's raw top-k routing EXACTLY
+    (reference transducer.py:275-319): one top-``beam_size`` over the FULL
+    fused vocabulary per pop, blank extending into B only when blank is in
+    that top-k, every other top-k label extending into A. The default (False)
+    is the repo's Graves formulation — blank always extends into B plus the
+    top-k NON-blank labels into A — which guarantees per-frame termination;
+    the two agree whenever blank stays inside the top-k (the trained-model
+    regime). Under ``ref_topk`` the expansion loop has no natural bound, so a
+    safety cap raises rather than silently diverging from the reference.
+    """
     f, f_len, _ = model.apply(variables, x, x_len, False, method=Transducer.encode)
 
     dec_step = jax.jit(
@@ -97,7 +109,8 @@ def beam_search(
             # of the top-k), the blank extension is always emitted — this is
             # Graves' formulation and guarantees termination.
             expansions = 0
-            while len(beams) < beam_size and expansions < 3 * beam_size:
+            max_exp = 100 * beam_size if ref_topk else 3 * beam_size
+            while len(beams) < beam_size and expansions < max_exp:
                 expansions += 1
                 best = max(a_hyps, key=Hyp.norm_score.fget)
                 a_hyps.remove(best)
@@ -113,18 +126,34 @@ def beam_search(
                     )
                 logp = np.asarray(logp)
 
-                # blank extension -> B
-                beams.append(
-                    Hyp(
-                        prediction=best.prediction[:],
-                        logp_score=best.logp_score + float(logp[0]),
-                        hidden=best.hidden,
-                        hidden_lm=best.hidden_lm,
-                        ngram_state=best.ngram_state,
+                if ref_topk:
+                    # reference routing: top-k over the FULL vocab (stable
+                    # descending = torch.topk's lowest-index-first on ties)
+                    topk = np.argsort(-logp, kind="stable")[:beam_size]
+                    if 0 in topk:
+                        beams.append(
+                            Hyp(
+                                prediction=best.prediction[:],
+                                logp_score=best.logp_score + float(logp[0]),
+                                hidden=best.hidden,
+                                hidden_lm=best.hidden_lm,
+                                ngram_state=best.ngram_state,
+                            )
+                        )
+                    topk = topk[topk != 0]
+                else:
+                    # blank extension -> B (always)
+                    beams.append(
+                        Hyp(
+                            prediction=best.prediction[:],
+                            logp_score=best.logp_score + float(logp[0]),
+                            hidden=best.hidden,
+                            hidden_lm=best.hidden_lm,
+                            ngram_state=best.ngram_state,
+                        )
                     )
-                )
-                # top-k non-blank extensions -> A
-                topk = np.argsort(logp[1:])[-beam_size:][::-1] + 1
+                    # top-k non-blank extensions -> A
+                    topk = np.argsort(logp[1:])[-beam_size:][::-1] + 1
                 for c in topk:
                     c = int(c)
                     hyp = Hyp(
@@ -143,6 +172,13 @@ def beam_search(
                         hyp.logp_score += ngram_alpha * sc + ngram_beta
                         hyp.ngram_state = ns
                     a_hyps.append(hyp)
+            if ref_topk and len(beams) < beam_size:
+                raise RuntimeError(
+                    "ref_topk beam search hit the expansion safety cap "
+                    f"({max_exp}) with only {len(beams)}/{beam_size} blank "
+                    "extensions — the reference's unbounded loop would spin "
+                    "here; this model/input keeps blank out of the top-k."
+                )
         best = max(beams, key=Hyp.norm_score.fget)
         results.append(best.prediction[1:])
     return results
@@ -163,6 +199,7 @@ def beam_search_batched(
     ngram: Optional[ArpaLM] = None,
     ngram_alpha: float = 0.0,
     ngram_beta: float = 0.0,
+    ref_topk: bool = False,
 ) -> List[List[int]]:
     """Beam search with expansions batched across utterances.
 
@@ -262,17 +299,31 @@ def beam_search_batched(
             )
         logp = np.asarray(logp)
 
+        max_exp = 100 * beam_size if ref_topk else 3 * beam_size
         for b in active:
             best = bests[b]
             expansions[b] += 1
             hid_b = carry_slice(hidden, b)
             lm_hid_b = carry_slice(lm_hidden, b) if use_lm else None
-            new_beams[b].append(
-                Hyp(best.prediction[:], best.logp_score + float(logp[b, 0]),
-                    hidden=best.hidden, hidden_lm=best.hidden_lm,
-                    ngram_state=best.ngram_state)
-            )
-            topk = np.argsort(logp[b, 1:])[-beam_size:][::-1] + 1
+            if ref_topk:
+                # reference routing (transducer.py:275-319): one top-k over
+                # the full vocab; blank -> B only when inside the top-k
+                topk = np.argsort(-logp[b], kind="stable")[:beam_size]
+                if 0 in topk:
+                    new_beams[b].append(
+                        Hyp(best.prediction[:],
+                            best.logp_score + float(logp[b, 0]),
+                            hidden=best.hidden, hidden_lm=best.hidden_lm,
+                            ngram_state=best.ngram_state)
+                    )
+                topk = topk[topk != 0]
+            else:
+                new_beams[b].append(
+                    Hyp(best.prediction[:], best.logp_score + float(logp[b, 0]),
+                        hidden=best.hidden, hidden_lm=best.hidden_lm,
+                        ngram_state=best.ngram_state)
+                )
+                topk = np.argsort(logp[b, 1:])[-beam_size:][::-1] + 1
             for c in topk:
                 c = int(c)
                 hyp = Hyp(best.prediction[:] + [c],
@@ -286,7 +337,13 @@ def beam_search_batched(
                     hyp.ngram_state = ns
                 a_hyps[b].append(hyp)
 
-            if len(new_beams[b]) >= beam_size or expansions[b] >= 3 * beam_size:
+            if len(new_beams[b]) >= beam_size or expansions[b] >= max_exp:
+                if ref_topk and len(new_beams[b]) < beam_size:
+                    raise RuntimeError(
+                        "ref_topk beam search hit the expansion safety cap "
+                        f"({max_exp}) with {len(new_beams[b])}/{beam_size} "
+                        "blank extensions"
+                    )
                 beams[b] = new_beams[b]
                 t_ptr[b] += 1
                 in_frame[b] = False

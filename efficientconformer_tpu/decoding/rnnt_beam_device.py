@@ -76,8 +76,19 @@ def beam_search_device(
     ngram=None,
     ngram_alpha: float = 0.0,
     ngram_beta: float = 0.0,
+    ref_topk: bool = False,
 ) -> List[List[int]]:
     """Returns decoded token id sequences (list per batch element).
+
+    ``ref_topk=True`` switches the expansion routing to the reference's raw
+    top-k semantics (reference transducer.py:275-319, see rnnt_beam.py): one
+    top-``beam_size`` over the full fused vocabulary per pop; the popped
+    hypothesis extends into B only when blank is inside that top-k. The pop
+    loop then needs a dynamic trip count (a pop may add nothing to B); it is
+    capped at ``3 * beam_size`` pops per frame — exact as long as every frame
+    fills its B within the cap (guaranteed in the trained-model regime where
+    blank dominates; the host ``ref_topk`` raises on cap-hit, and the parity
+    suite cross-checks the two).
 
     ``ngram`` is a decoding.ngram_device.DeviceNgram (an ArpaLM is converted
     automatically): kenlm-style rescoring of token extensions
@@ -96,7 +107,7 @@ def beam_search_device(
            id(lm_model) if lm_model is not None else None,
            float(lm_weight), float(lm_tmp), float(tmp),
            id(ngram) if ngram is not None else None,
-           float(ngram_alpha), float(ngram_beta))
+           float(ngram_alpha), float(ngram_beta), bool(ref_topk))
     fn = _CACHE.get(key)
     if fn is None:
         fn = jax.jit(
@@ -112,6 +123,7 @@ def beam_search_device(
                 ngram=ngram,
                 ngram_alpha=ngram_alpha,
                 ngram_beta=ngram_beta,
+                ref_topk=ref_topk,
             )
         )
         _CACHE[key] = fn
@@ -192,11 +204,12 @@ def _pad_slots(tree, pad):
 
 def _beam_impl(variables, lm_variables, x, x_len, *, model, beam_size, tmp,
                max_tokens, lm_model, lm_weight, lm_tmp,
-               ngram=None, ngram_alpha=0.0, ngram_beta=0.0):
+               ngram=None, ngram_alpha=0.0, ngram_beta=0.0, ref_topk=False):
     f, f_len, _ = model.apply(variables, x, x_len, False, method=Transducer.encode)
     b = f.shape[0]
     w = beam_size
-    cap = w + w * w                     # frame-initial W + W children per pop
+    pop_cap = 3 * w if ref_topk else w  # pops per frame (Graves: exactly W)
+    cap = w + pop_cap * w               # frame-initial W + W children per pop
     use_lm = lm_model is not None and lm_weight
     use_ng = ngram is not None and ngram_alpha
     if use_ng:
@@ -298,6 +311,12 @@ def _beam_impl(variables, lm_variables, x, x_len, *, model, beam_size, tmp,
         fast_b = jnp.all(valid, axis=1) & (
             jnp.max(child_prio, axis=1) <= jnp.min(prio, axis=1)
         )
+        if ref_topk:
+            # the fast path additionally requires blank inside the top-W of
+            # every frame-initial hypothesis's fused log-probs (else a pop
+            # would emit nothing into B); blank (index 0) wins value ties
+            n_greater = jnp.sum(fused0[..., 1:] > fused0[..., :1], axis=-1)
+            fast_b = fast_b & jnp.all(n_greater <= w - 1, axis=1)
         fast = jnp.all(fast_b | ~active)
         return f_t, active, fused0, prio, fast
 
@@ -345,18 +364,21 @@ def _beam_impl(variables, lm_variables, x, x_len, *, model, beam_size, tmp,
         pool = jax.tree.map(jnp.zeros_like, prev)
         pool["score"] = jnp.full((b, w), NEG)
 
-        def pop(e, carry):
-            a, pool = carry
+        def pop(carry):
+            a_in, pool, b_count, e = carry
+            # samples still filling their B pool this frame (Graves: every
+            # pop emits, so b_count == e and this is just ``active``)
+            frame_active = active & (b_count < w)
             # ---- pop the best hypothesis (norm score, earliest index wins
             # ties, matching Python max over the ordered list)
             prio_a = jnp.where(
-                a["score"] > NEG / 2,
-                a["score"] / (1.0 + a["n_tok"].astype(jnp.float32)),
+                a_in["score"] > NEG / 2,
+                a_in["score"] / (1.0 + a_in["n_tok"].astype(jnp.float32)),
                 NEG,
             )
             p = jnp.argmax(prio_a, axis=1)                # (B,)
-            popped = {k: _slot_gather(a[k], p) for k in a}
-            a = dict(a, score=a["score"].at[jnp.arange(b), p].set(NEG))
+            popped = {k: _slot_gather(a_in[k], p) for k in a_in}
+            a = dict(a_in, score=a_in["score"].at[jnp.arange(b), p].set(NEG))
 
             # ---- replay the popped hyp's last token (host lagging-state
             # convention); frame-initial slots (p < w) swap in their cached
@@ -380,9 +402,26 @@ def _beam_impl(variables, lm_variables, x, x_len, *, model, beam_size, tmp,
                     is_ini[:, None], logp, logp + lm_weight * lm_lp
                 )
 
-            # ---- blank extension -> pool slot e (arrival order), with the
-            # replay products cached for the fast path of later frames
-            e_idx = jnp.full((b,), e, jnp.int32)
+            # ---- routing: which labels extend into A, and whether this pop
+            # emits a blank extension into B
+            if ref_topk:
+                # reference semantics: ONE top-W over the full vocab; blank
+                # extends into B only when inside it (its top-k slot is then
+                # dead as a child); lax.top_k ties resolve to the lowest
+                # index, so blank wins value ties like torch.topk
+                tok_lp, toks = jax.lax.top_k(logp, w)      # (B, W)
+                blank_pos = toks == 0
+                emit = jnp.any(blank_pos, axis=1) & frame_active
+            else:
+                tok_lp, toks = jax.lax.top_k(logp[:, 1:], w)
+                toks = toks + 1
+                blank_pos = jnp.zeros_like(toks, dtype=bool)
+                emit = frame_active
+
+            # ---- blank extension -> pool slot b_count (arrival order; in
+            # Graves mode b_count == e), with the replay products cached for
+            # the fast path of later frames
+            e_idx = b_count
             entry = {
                 "score": popped["score"] + logp[:, 0],
                 "tokens": popped["tokens"],
@@ -396,12 +435,10 @@ def _beam_impl(variables, lm_variables, x, x_len, *, model, beam_size, tmp,
                 entry["lm_carry"] = popped["lm_carry"]
                 entry["lm_lp"] = lm_lp
                 entry["lm_carry_next"] = lm_nc_c
-            pool = _slot_set(pool, e_idx, entry)
+            pool = keep_active(emit, _slot_set(pool, e_idx, entry), pool)
 
             # ---- top-W token extensions -> A slots [w+e*w : w+(e+1)*w];
             # their lagging carry is the popped hyp's post-replay carry
-            tok_lp, toks = jax.lax.top_k(logp[:, 1:], w)   # (B, W)
-            toks = toks + 1
             if use_ng:
                 # kenlm-style rescoring of the chosen extensions (host
                 # rnnt_beam.py / reference transducer.py:309-317: applied
@@ -414,7 +451,7 @@ def _beam_impl(variables, lm_variables, x, x_len, *, model, beam_size, tmp,
                 )
                 tok_lp = tok_lp + ngram_alpha * ng_sc + ngram_beta
             child_scores = jnp.where(
-                (popped["n_tok"] < max_tokens)[:, None],
+                (popped["n_tok"] < max_tokens)[:, None] & ~blank_pos,
                 popped["score"][:, None] + tok_lp,
                 NEG,
             )
@@ -449,9 +486,20 @@ def _beam_impl(variables, lm_variables, x, x_len, *, model, beam_size, tmp,
                 a_next["lm_carry"] = jax.tree.map(
                     put_bcast, a["lm_carry"], lm_nc_c
                 )
-            return (a_next, pool)
+            # samples done with their frame (or inactive) keep their state
+            a_next = keep_active(frame_active, a_next, a_in)
+            return (a_next, pool, b_count + emit.astype(jnp.int32), e + 1)
 
-        _, pool_final = jax.lax.fori_loop(0, w, pop, (a_set, pool))
+        def pops_left(carry):
+            _, _, b_count, e = carry
+            if ref_topk:
+                return (e < pop_cap) & jnp.any(active & (b_count < w))
+            return e < w
+
+        _, pool_final, _, _ = jax.lax.while_loop(
+            pops_left, pop,
+            (a_set, pool, jnp.zeros((b,), jnp.int32), jnp.int32(0)),
+        )
 
         nb = keep_active(active, pool_final, prev)
         t = s["t"] + active.astype(jnp.int32)

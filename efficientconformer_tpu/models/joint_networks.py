@@ -91,8 +91,11 @@ class JointNetwork(nn.Module):
     def row(self, pf, g):
         """Row mode for label-looping greedy decode: one decoder state against
         ALL encoder frames at once. pf (B, T, Dj) pre-projected frames
-        (``project_encoder``), g (B, Dd) -> (B, T, V). Numerically identical
-        to calling ``step`` per frame (same projections, same order)."""
+        (``project_encoder``), g (B, Dd) -> (B, T, V). Same ops as calling
+        ``step`` per frame (same projections, same order); bit-identical on
+        CPU (asserted in tests/test_models.py), but backend-specific matmul
+        tilings may differ in low bits for batched (B, T, De) vs per-frame
+        (B, De) contractions, which could flip exact argmax ties on TPU."""
         if self.linear_encoder is not None:
             g = self.linear_decoder(g)
         if self.mode == "concat":

@@ -303,6 +303,10 @@ def _greedy_label_loop(
         has = jnp.any(nonblank, axis=1)
         j = jnp.argmax(nonblank, axis=1).astype(jnp.int32)
         emit = has & (s["n_tok"] < max_tokens) & (s["t"] < f_len)
+        if max_consec_dec_steps < 1:
+            # degenerate static cap: the frame-sync loop (consec < cap never
+            # true) emits nothing — match it instead of emitting at t+1
+            emit = emit & False
         tok = pred[jnp.arange(b), j]
 
         pos = jnp.where(emit, s["n_tok"], max_tokens)

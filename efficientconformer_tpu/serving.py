@@ -156,6 +156,7 @@ class TransducerGreedyDecoder:
         self._n_prev = [0] * b
         self._host_n = None
         self._host_toks = None
+        self._dirty = False  # any window step launched since last collect()?
 
         def _row_reset(state, template, i):
             def upd(s, t):
@@ -198,8 +199,14 @@ class TransducerGreedyDecoder:
             max_consec_dec_steps=self.max_consec,
         )
         self._host_n = None  # cache is stale until the next collect()
+        self._dirty = True
 
     def collect(self) -> Dict[int, List[int]]:
+        if not self._dirty:
+            # no window step ran since the last collect(): the device state
+            # is unchanged — skip the host sync of the token buffer entirely
+            return {}
+        self._dirty = False
         n_tok = np.array(self._state["n_tok"])  # writable copy: reset() zeroes rows
         tokens = np.asarray(self._state["tokens"])
         self._host_n, self._host_toks = n_tok, tokens

@@ -22,6 +22,13 @@ def main():
     p.add_argument("--seconds", type=float, default=10.0)
     p.add_argument("--config", default="configs/EfficientConformerTransducerMedium.json")
     p.add_argument("--skip-host", action="store_true")
+    p.add_argument("--ngram-entries", type=int, default=0,
+                   help="synthesize a LibriSpeech-shaped 6-gram ARPA with "
+                        "~this many entries (tests/ngram_synth.py) and run "
+                        "the beam with on-device kenlm-style rescoring "
+                        "(ngram_alpha 0.3 / beta 1, the shipped transducer "
+                        "decoding_params); reports ARPA parse + CSR pack "
+                        "times and device table bytes")
     p.add_argument("--blank-bias", type=float, default=0.0,
                    help="add to the joint's blank logit bias. Random weights "
                         "emit max_tokens on every frame (length normalisation "
@@ -65,9 +72,46 @@ def main():
     print(f"model ready; B={args.batch} W={args.beam} audio={args.seconds}s",
           flush=True)
 
+    ng_kwargs = {}
+    if args.ngram_entries:
+        import tempfile
+
+        sys.path.insert(0, "tests")
+        from ngram_synth import synth_arpa
+        from efficientconformer_tpu.decoding.ngram import ArpaLM
+        from efficientconformer_tpu.decoding.ngram_device import DeviceNgram
+
+        vocab = config.vocab_size
+        n = args.ngram_entries
+        counts = (0, min(n // 5, vocab * vocab), n // 4, n // 4, n // 4,
+                  n - n // 4 * 3 - min(n // 5, vocab * vocab))
+        path = tempfile.mktemp(suffix=".arpa")
+        t0 = time.time()
+        written = synth_arpa(path, vocab=vocab, order=6, counts=counts)
+        t_synth = time.time() - t0
+        total = sum(written.values())
+        t0 = time.time()
+        host_lm = ArpaLM(path, ngram_offset=100)
+        t_parse = time.time() - t0
+        t0 = time.time()
+        dev_lm = DeviceNgram(host_lm, vocab_size=vocab)
+        t_pack = time.time() - t0
+        nbytes = sum(
+            int(np.asarray(a).nbytes)
+            for a in (dev_lm.score_starts, dev_lm.score_wids,
+                      dev_lm.score_vals, dev_lm.trans_starts,
+                      dev_lm.trans_wids, dev_lm.trans_vals, dev_lm.backoff,
+                      dev_lm.suffix, dev_lm.length, dev_lm.token_wid)
+        )
+        print(f"ngram: {total} entries (order 6, vocab {vocab}); synth "
+              f"{t_synth:.1f}s, ARPA parse {t_parse:.1f}s, CSR pack "
+              f"{t_pack:.1f}s, device tables {nbytes/1e6:.1f} MB", flush=True)
+        ng_kwargs = dict(ngram=dev_lm, ngram_alpha=0.3, ngram_beta=1.0)
+
     def run_device():
         return beam_search_device(
-            model, variables, x, x_len, beam_size=args.beam, max_tokens=256
+            model, variables, x, x_len, beam_size=args.beam, max_tokens=256,
+            **ng_kwargs
         )
 
     # compile
@@ -82,15 +126,17 @@ def main():
           f"({rtf_dev:.0f}x RT), lens={[len(s) for s in out[:4]]}", flush=True)
 
     if not args.skip_host:
+        host_ng = (dict(ngram=host_lm, ngram_alpha=0.3, ngram_beta=1.0)
+                   if args.ngram_entries else {})
         t0 = time.time()
         out_h = beam_search_batched(
-            model, variables, x, x_len, beam_size=args.beam
+            model, variables, x, x_len, beam_size=args.beam, **host_ng
         )
         dt_host = time.time() - t0
         # second run (jits cached)
         t0 = time.time()
         out_h = beam_search_batched(
-            model, variables, x, x_len, beam_size=args.beam
+            model, variables, x, x_len, beam_size=args.beam, **host_ng
         )
         dt_host = time.time() - t0
         rtf_host = args.batch * args.seconds / dt_host

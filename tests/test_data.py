@@ -50,6 +50,18 @@ def test_wer():
     assert wer(["a b c"], ["a x c"]) == pytest.approx(1 / 3)
     assert wer(["a b c", "d e"], ["a b", "d e f"]) == pytest.approx(2 / 5)
     assert wer(["Hello World"], ["hello world"]) == 0.0
+    # jiwer 2.x standardize fidelity (reference model.py:483 passes
+    # standardize=True): contraction expansion — including its possessive
+    # quirk — and Kaldi non-word removal, on BOTH sides
+    assert wer(["DON'T STOP"], ["DO NOT STOP"]) == 0.0
+    assert wer(["WON'T GO"], ["WILL NOT GO"]) == 0.0
+    assert wer(["IT'S A TEST"], ["IT IS A TEST"]) == 0.0
+    assert wer(["BOB'S HAT"], ["BOB IS HAT"]) == 0.0  # 's -> " is" always
+    assert wer(["HELLO [NOISE] WORLD"], ["HELLO <unk> WORLD"]) == 0.0
+    assert wer(["I'M HERE YOU'VE GONE"], ["I AM HERE YOU HAVE GONE"]) == 0.0
+    # plain mode: no transforms beyond lowercase+split
+    assert wer(["DON'T STOP"], ["DO NOT STOP"], standardize=False) == \
+        pytest.approx(2 / 2)
 
 
 def test_transformer_schedule_values():

@@ -59,10 +59,10 @@ TINY_DEC = {"arch": "RNN", "num_layers": 1, "dim_model": 12, "vocab_size": 9}
 TINY_JOINT = {"joint_mode": "sum", "dim_model": 12, "act": "tanh"}
 
 
-def build_tiny_transducer():
+def build_tiny_transducer(joint_params=None):
     model = Transducer(
         encoder_params=TINY_ENC, decoder_params=TINY_DEC,
-        joint_params=TINY_JOINT, vocab_size=9,
+        joint_params=joint_params or TINY_JOINT, vocab_size=9,
     )
     x = jnp.array(np.random.default_rng(0).standard_normal((2, 1600)), jnp.float32)
     x_len = jnp.array([1600, 1200])
@@ -125,14 +125,20 @@ def test_transducer_batched_greedy_matches_reference_loop():
         assert got == want[b], (b, got, want[b])
 
 
-def test_transducer_label_looping_matches_frame_sync():
+@pytest.mark.parametrize("joint_params", [
+    {"joint_mode": "sum", "dim_model": 12, "act": "tanh"},
+    {"joint_mode": "concat", "dim_model": 12, "act": "tanh"},
+    {"joint_mode": "concat", "dim_model": None, "act": "tanh"},  # identity proj
+])
+def test_transducer_label_looping_matches_frame_sync(joint_params):
     """The label-looping greedy loop (one iteration per emission, blanks
     skipped via batched joint rows) is an exact reimplementation of the
     frame-synchronous state machine — tokens and counts identical, full
-    utterance and chunk-streamed."""
+    utterance and chunk-streamed. Parametrized over joint modes so the
+    ``row`` concat/identity-projection paths are covered too."""
     from efficientconformer_tpu.models.transducer import greedy_decode_stream
 
-    model, variables, x, x_len, y, y_len = build_tiny_transducer()
+    model, variables, x, x_len, y, y_len = build_tiny_transducer(joint_params)
     tf_, nf = greedy_decode(model, variables, x, x_len, max_tokens=128,
                             max_consec_dec_steps=5, algo="frame")
     tl_, nl = greedy_decode(model, variables, x, x_len, max_tokens=128,
@@ -155,6 +161,15 @@ def test_transducer_label_looping_matches_frame_sync():
     tl2, nl2 = greedy_decode(model, variables, x, x_len, max_tokens=3,
                              max_consec_dec_steps=2, algo="label")
     assert (nf2 == nl2).all() and (tf2 == tl2).all()
+
+    # degenerate static cap 0: the frame-sync machine can never emit
+    # (consec < 0 is unsatisfiable); the label loop must match, not emit at
+    # its forced-advance frame t+1
+    tf0, nf0 = greedy_decode(model, variables, x, x_len, max_tokens=128,
+                             max_consec_dec_steps=0, algo="frame")
+    tl0, nl0 = greedy_decode(model, variables, x, x_len, max_tokens=128,
+                             max_consec_dec_steps=0, algo="label")
+    assert (nf0 == 0).all() and (nl0 == 0).all() and (tf0 == tl0).all()
 
 
 def test_lm_forward_and_ce():
