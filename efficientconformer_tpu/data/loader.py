@@ -53,6 +53,7 @@ class AsrBatchLoader:
         num_workers: int = 0,
         shard_id: int = 0,
         num_shards: int = 1,
+        audio_pad_align=None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -86,6 +87,14 @@ class AsrBatchLoader:
         group = batch_size * accum_steps
         n_audio_buckets = max(1, min(n_audio_buckets, len(lens) // group or 1))
         self.audio_edges = make_buckets(max_audio, n_audio_buckets)
+        # Pad target per bucket; ``audio_pad_align`` (e.g. parallel.mesh.
+        # sp_pad_align) may round it UP so every static batch length has full
+        # sequence-parallel coverage. Bucket membership still follows
+        # audio_edges, so alignment never moves utterances between buckets.
+        self.audio_pads = [
+            audio_pad_align(e) if audio_pad_align is not None else e
+            for e in self.audio_edges
+        ]
         # per audio bucket, the max label length defines the label pad
         self.label_pad = {}
         for al, ll in lens:
@@ -117,7 +126,7 @@ class AsrBatchLoader:
         return batches
 
     def _materialise(self, bucket: int, idxs: List[int]):
-        audio_pad = self.audio_edges[bucket]
+        audio_pad = self.audio_pads[bucket]
         label_pad = self.label_pad[bucket]
         micro = self.batch_size
         # partial tail group (drop_last=False): pad by repeating the last

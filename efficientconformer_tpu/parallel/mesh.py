@@ -166,6 +166,76 @@ def sp_audio_lengths(
     return out
 
 
+def sp_coverage(
+    encoder_params: dict, seq_parallel: int, t_audio: int,
+    include_frontend: bool = False,
+) -> tuple:
+    """(n_divisible, n_total) over the encoder's ``seq_constraint`` points for
+    raw audio length ``t_audio``. ``seq_constraint`` silently skips points
+    whose frame count does not divide the seq axis, so n_divisible == 0 means
+    sequence parallelism would do NOTHING for this batch shape (every
+    activation stays replicated along time)."""
+    sched = seq_frame_schedule(encoder_params, t_audio)
+    pts = sched if include_frontend else sched[1:]
+    return sum(1 for f in pts if f % seq_parallel == 0), len(pts)
+
+
+def sp_pad_align(encoder_params: dict, seq_parallel: int, max_extra_frac: float = 0.3):
+    """Audio-pad aligner for SP loaders: maps a bucket pad length to the
+    smallest length >= it whose WHOLE post-frontend frame schedule divides by
+    ``seq_parallel`` (full sequence-parallel coverage). Because the alignment
+    happens on the host at batch-materialisation time, the padded batch is
+    identical under SP and DP programs — BatchNorm statistics and numerics
+    are unaffected by the parallelism choice (unlike in-graph padding, which
+    mesh.seq_constraint deliberately refuses to do).
+
+    Raises if no aligned length exists within ``max_extra_frac`` above the
+    target (cannot happen for the shipped stride schedules: frame counts step
+    by 1 per hop, so an f ≡ 0 (mod sp * prod(strides)) point is at most
+    sp * prod(strides) hops away)."""
+    p = encoder_params
+    hop = p["sample_rate"] * p["hop_length_ms"] // 1000
+
+    def align(t_pad: int) -> int:
+        t = t_pad + (-t_pad) % hop
+        limit = int(t_pad * (1 + max_extra_frac)) + 64 * hop
+        while t <= limit:
+            n_div, n_tot = sp_coverage(p, seq_parallel, t)
+            if n_div == n_tot:
+                return t
+            t += hop
+        raise ValueError(
+            f"no seq_parallel={seq_parallel}-aligned audio length within "
+            f"{max_extra_frac:.0%} above {t_pad}"
+        )
+
+    return align
+
+
+def sp_coverage_warn(encoder_params: dict, mesh, t_audio: int) -> None:
+    """Warn loudly when a training batch of raw length ``t_audio`` under a
+    "seq" mesh would have ZERO sharded constraint points (SP silently
+    degrading to DP). Called by the trainer once per distinct batch length."""
+    if mesh is None or "seq" not in mesh.axis_names:
+        return
+    sp = mesh.shape["seq"]
+    n_div, n_tot = sp_coverage(encoder_params, sp, t_audio)
+    if n_div == 0:
+        import warnings
+
+        warnings.warn(
+            f"sequence parallelism is INACTIVE for audio length {t_audio}: "
+            f"none of the {n_tot} encoder constraint points divide the seq "
+            f"axis ({sp}); activations stay time-replicated and the run "
+            f"degrades to data parallelism over fewer samples. Align loader "
+            f"pad lengths with parallel.mesh.sp_pad_align (AsrBatchLoader "
+            f"audio_pad_align=...) or pick train_audio_max_length from "
+            f"parallel.mesh.sp_audio_lengths.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over the data axis."""
     return NamedSharding(mesh, P("data"))

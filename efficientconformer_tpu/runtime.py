@@ -452,12 +452,22 @@ def run(args):
                 audio_max_length=tp.get("train_audio_max_length"),
                 label_max_length=tp.get("train_label_max_length"),
             )
+            # --seq_parallel: align every bucket's static pad length so the
+            # WHOLE encoder frame schedule divides the seq axis (full SP
+            # coverage; see parallel.mesh.sp_pad_align)
+            pad_align = None
+            if tp.get("seq_parallel", 1) > 1:
+                from efficientconformer_tpu.parallel.mesh import sp_pad_align
+                pad_align = sp_pad_align(
+                    config.encoder_params, tp["seq_parallel"]
+                )
             loader = AsrBatchLoader(
                 train_ds, tp["batch_size"],
                 accum_steps=tp.get("accumulated_steps", 1),
                 num_workers=args.num_workers,
                 shard_id=jax.process_index(),
                 num_shards=jax.process_count(),
+                audio_pad_align=pad_align,
             )
         writer = None
         try:

@@ -199,6 +199,7 @@ class Trainer:
 
         lr_fn = schedules.from_training_params(self.config.training_params)
         step_fns: dict = {}
+        seen_audio_lens: set = set()
         rng = jax.random.PRNGKey(self.seed + 1)
         py_step = int(state.step)  # host-side mirror; avoids per-step syncs
         # multi-host: promote host-local state to global replicated arrays
@@ -238,6 +239,15 @@ class Trainer:
                     if key not in step_fns:
                         step_fns[key] = self.train_step_fn(use_vn, freeze)
                     step_fn = step_fns[key]
+                    # loud warning when SP would silently degrade to DP for
+                    # this (static) batch length — once per distinct length
+                    if "seq" in self.mesh.axis_names and "audio" in batch:
+                        t_a = int(batch["audio"].shape[-1])
+                        if t_a not in seen_audio_lens:
+                            seen_audio_lens.add(t_a)
+                            enc = getattr(self.config, "encoder_params", None)
+                            if enc:
+                                mesh_lib.sp_coverage_warn(enc, self.mesh, t_a)
                     batch = mesh_lib.shard_batch(self.mesh, batch, batch_axis=1)
                     state, metrics = step_fn(state, batch, rng)
                     py_step += 1
