@@ -75,6 +75,38 @@ def _use_fused(fused: Optional[bool], q, k, v) -> bool:
     return not PA.fits_vmem(q.shape[-2], k.shape[-2], d)
 
 
+def _factorize_on(structurally_ok: bool) -> bool:
+    """ECF_REL_FACTORIZE=0 forces the skewing path for A/B measurement (it
+    can only disable: factorization is invalid for causal/even-G/full-mask
+    shapes regardless of the env)."""
+    if not structurally_ok:
+        return False
+    import os
+
+    return os.environ.get("ECF_REL_FACTORIZE") not in ("0", "false", "off")
+
+
+def _use_fused_relpos(nq: int, nk: int, dh: int, hd2: int) -> bool:
+    """Dispatch policy for the fused factorized rel-pos kernel
+    (ops/pallas_rel_attention.py). Default: on TPU whenever the single-block
+    kernel fits VMEM — measured faster than the augmented-feature XLA path at
+    every shipped training size (see BENCH_DETAILS.md); the kernel keeps the
+    A/C features and the (N, N) score/probability tensors out of HBM in both
+    directions. ECF_FUSED_RELPOS=0/1 overrides for A/B."""
+    import os
+
+    env = os.environ.get("ECF_FUSED_RELPOS")
+    if env is not None:
+        return env not in ("0", "false", "off")
+    import jax
+
+    if jax.default_backend() in ("cpu",):
+        return False
+    from efficientconformer_tpu.ops import pallas_rel_attention as PRA
+
+    return PRA.fits_vmem(nq, nk, dh, hd2)
+
+
 def _attend(q, k, v, bias, scale, fused: Optional[bool]):
     """softmax(q k^T * scale + bias) v with optional Pallas fusion.
 
@@ -223,29 +255,51 @@ class MultiHeadSelfAttention(nn.Module):
                 # Factorisation requires the encoding values to be linear in
                 # (p - q), which holds only for odd G (even-G tables duplicate
                 # position 0, see ops/pos_enc.grouped_relative_encoding).
-                if not self.causal and key_only and g % 2 == 1:
+                if _factorize_on(not self.causal and key_only and g % 2 == 1):
                     # factorised grouped rel-pos: no (B, H, Ng, Ng) bias
                     from efficientconformer_tpu.ops import rel_factorize as RF
 
                     pos_layer(jnp.zeros((1, d), x.dtype))  # create params
                     w = pos_layer.variables["params"]["kernel"].astype(x.dtype)
-                    a_feat = RF.grouped_rel_query_features(qv, w, g, hid_len)
-                    c_feat = RF.rel_key_features(
-                        kg.shape[2], d, x.dtype, stride=g
-                    )
-                    q_aug = jnp.concatenate([qu, a_feat], axis=-1)
-                    k_aug = jnp.concatenate(
-                        [kg, jnp.broadcast_to(
-                            c_feat[None, None], (kg.shape[0], h) + c_feat.shape
-                        )],
-                        axis=-1,
-                    )
+                    nq_, nk_ = qu.shape[2], kg.shape[2]
                     bias = (
                         mask_p[:, :, ::g, ::g] * A.NEG_INF
                         if mask_p is not None else None
                     )
-                    o = _attend(q_aug, k_aug, vg, bias, 1.0 / math.sqrt(dh),
-                                self.fused)
+                    hdp = -(-(d // 2) // 128) * 128
+                    if _use_fused_relpos(nq_, nk_, dh, 2 * hdp):
+                        # fused kernel: P/Q accumulators in, rel bias formed
+                        # in VMEM — no A/C features in HBM at all
+                        from efficientconformer_tpu.ops import (
+                            pallas_rel_attention as PRA,
+                        )
+
+                        pq = RF.rel_pq_grouped(qv, w, g, hdp, hid_len)
+                        rowtab = RF.rel_rowtab(nq_, d, hdp, x.dtype, stride=g)
+                        keytab = RF.rel_keytab_halves(
+                            nk_, d, hdp, x.dtype, stride=g
+                        )
+                        o = PRA.fused_relpos_attention(
+                            qu, kg, vg, pq, rowtab, keytab, bias,
+                            1.0 / math.sqrt(dh), d,
+                        )
+                    else:
+                        a_feat = RF.grouped_rel_query_features(
+                            qv, w, g, hid_len
+                        )
+                        c_feat = RF.rel_key_features(
+                            kg.shape[2], d, x.dtype, stride=g
+                        )
+                        q_aug = jnp.concatenate([qu, a_feat], axis=-1)
+                        k_aug = jnp.concatenate(
+                            [kg, jnp.broadcast_to(
+                                c_feat[None, None],
+                                (kg.shape[0], h) + c_feat.shape
+                            )],
+                            axis=-1,
+                        )
+                        o = _attend(q_aug, k_aug, vg, bias,
+                                    1.0 / math.sqrt(dh), self.fused)
                 else:
                     e = pos_layer(
                         P.grouped_relative_encoding(
@@ -375,7 +429,7 @@ class MultiHeadSelfAttention(nn.Module):
             vh = A.split_heads(v, h)
 
             key_only_mask = mask is None or mask.shape[-2] == 1
-            if not self.causal and key_only_mask:
+            if _factorize_on(not self.causal and key_only_mask):
                 # Factorised rel-pos (exact, see ops/rel_factorize.py): fold
                 # the sinusoidal scores into augmented q/k features so no
                 # (B, H, N, N) bias tensor is materialised — the HBM-dominant
@@ -385,17 +439,35 @@ class MultiHeadSelfAttention(nn.Module):
                 # force pos-layer parameter creation, then read its kernel
                 pos_w = pos_layer(jnp.zeros((1, d), x.dtype))
                 w = pos_layer.variables["params"]["kernel"].astype(x.dtype)
-                a_feat = RF.rel_query_features(qv, w, hidden_len=hid_len)
-                c_feat = RF.rel_key_features(k.shape[1], d, x.dtype)
-                q_aug = jnp.concatenate([qu, a_feat], axis=-1)
-                k_aug = jnp.concatenate(
-                    [kh, jnp.broadcast_to(
-                        c_feat[None, None], (kh.shape[0], h) + c_feat.shape
-                    )],
-                    axis=-1,
-                )
                 bias = mask * A.NEG_INF if mask is not None else None
-                o = _attend(q_aug, k_aug, vh, bias, 1.0 / math.sqrt(dh), self.fused)
+                nq_, nk_ = qu.shape[2], kh.shape[2]
+                hdp = -(-(d // 2) // 128) * 128
+                if _use_fused_relpos(nq_, nk_, dh, 2 * hdp):
+                    from efficientconformer_tpu.ops import (
+                        pallas_rel_attention as PRA,
+                    )
+
+                    pq = RF.rel_pq_plain(qv, w, hdp)
+                    rowtab = RF.rel_rowtab(
+                        nq_, d, hdp, x.dtype, hidden_len=hid_len
+                    )
+                    keytab = RF.rel_keytab_halves(nk_, d, hdp, x.dtype)
+                    o = PRA.fused_relpos_attention(
+                        qu, kh, vh, pq, rowtab, keytab, bias,
+                        1.0 / math.sqrt(dh), d,
+                    )
+                else:
+                    a_feat = RF.rel_query_features(qv, w, hidden_len=hid_len)
+                    c_feat = RF.rel_key_features(k.shape[1], d, x.dtype)
+                    q_aug = jnp.concatenate([qu, a_feat], axis=-1)
+                    k_aug = jnp.concatenate(
+                        [kh, jnp.broadcast_to(
+                            c_feat[None, None], (kh.shape[0], h) + c_feat.shape
+                        )],
+                        axis=-1,
+                    )
+                    o = _attend(q_aug, k_aug, vh, bias, 1.0 / math.sqrt(dh),
+                                self.fused)
             else:
                 e = pos_layer(
                     P.relative_encoding(

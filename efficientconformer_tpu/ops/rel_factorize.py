@@ -34,6 +34,85 @@ def _freqs(dim: int) -> np.ndarray:
     return 1.0 / 10000.0 ** (2.0 * np.arange(dim // 2) / dim)
 
 
+# ---------------------------------------------------------------------------
+# Half-separated (lane-aligned) layouts for the fused Pallas kernel
+# (ops/pallas_rel_attention.py): P/Q and sin/cos live in two contiguous
+# halves of width hdp = round_up(D/2, lane) instead of interleaved pairs.
+# The padding is folded into the STATIC weight/table tensors, so no
+# per-token relayout or pad copy ever materializes in HBM.
+# ---------------------------------------------------------------------------
+
+
+def _pad_half(x: np.ndarray, hdp: int, axis: int = -1) -> np.ndarray:
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, hdp - x.shape[axis])
+    return np.pad(x, pad)
+
+
+def rel_rowtab(
+    n: int, dim: int, hdp: int, dtype, hidden_len: int = 0, stride: int = 1
+) -> jnp.ndarray:
+    """(N, 2*hdp) [sin | cos] of the query-row angles pos_i * w_k, with
+    pos_i = i*stride + hidden_len (stride=G for grouped attention)."""
+    wk = _freqs(dim)
+    pos = np.arange(n) * stride + hidden_len
+    ang = pos[:, None] * wk[None, :]
+    return jnp.asarray(
+        np.concatenate(
+            [_pad_half(np.sin(ang), hdp), _pad_half(np.cos(ang), hdp)], -1
+        ),
+        dtype,
+    )
+
+
+def rel_keytab_halves(
+    n_keys: int, dim: int, hdp: int, dtype, stride: int = 1
+) -> jnp.ndarray:
+    """(Nk, 2*hdp) [cos | sin] of the key angles (stride=G for grouped)."""
+    wk = _freqs(dim)
+    pos = np.arange(n_keys) * stride
+    ang = pos[:, None] * wk[None, :]
+    return jnp.asarray(
+        np.concatenate(
+            [_pad_half(np.cos(ang), hdp), _pad_half(np.sin(ang), hdp)], -1
+        ),
+        dtype,
+    )
+
+
+def rel_pq_plain(qv: jnp.ndarray, pos_kernel: jnp.ndarray, hdp: int) -> jnp.ndarray:
+    """(B, H, N, 2*hdp) [P | Q] accumulators for the plain factorization:
+    P = alpha (even gamma rows), Q = beta (odd rows); see rel_query_features.
+    One einsum against half-separated, pre-padded weights."""
+    b, h, n, dh = qv.shape
+    d = pos_kernel.shape[0]
+    w = pos_kernel.reshape(d, h, dh)
+    wa = w[0::2]                                          # (D/2, H, dh)
+    wb = w[1::2]
+    zeros = jnp.zeros((hdp - d // 2, h, dh), w.dtype)
+    w_half = jnp.concatenate([wa, zeros, wb, zeros], axis=0)   # (2hdp, H, dh)
+    return jnp.einsum("bhnd,khd->bhnk", qv, w_half)
+
+
+def rel_pq_grouped(
+    qv_g: jnp.ndarray, pos_kernel: jnp.ndarray, group_size: int, hdp: int,
+    hidden_len: int = 0,
+) -> jnp.ndarray:
+    """(B, H, Ng, 2*hdp) [P | Q] chunk-phase-folded accumulators for the
+    grouped factorization (same math as grouped_rel_query_features, stopping
+    at P/Q instead of forming the interleaved A features)."""
+    w_pq = _grouped_fold_weights(qv_g, pos_kernel, group_size, hidden_len)
+    h, dhg, _, hd = w_pq.shape
+    w_half = jnp.concatenate(
+        [
+            jnp.pad(w_pq[:, :, 0], ((0, 0), (0, 0), (0, hdp - hd))),
+            jnp.pad(w_pq[:, :, 1], ((0, 0), (0, 0), (0, hdp - hd))),
+        ],
+        axis=-1,
+    )                                                     # (H, dhg, 2hdp)
+    return jnp.einsum("bhnl,hlk->bhnk", qv_g, w_half)
+
+
 def rel_query_features(
     qv: jnp.ndarray,          # (B, H, N, dh) query + v-bias, head-split
     pos_kernel: jnp.ndarray,  # (D, D) pos_layer Dense kernel
@@ -101,6 +180,30 @@ def grouped_rel_query_features(
     b, h, ng, dhg = qv_g.shape
     d = pos_kernel.shape[0]
     g = group_size
+    w_pq = _grouped_fold_weights(qv_g, pos_kernel, g, hidden_len)
+    pq = jnp.einsum("bhnl,hlsj->bhnsj", qv_g, w_pq)       # (B, H, Ng, 2, D/2)
+    p_acc = pq[..., 0, :]
+    q_acc = pq[..., 1, :]
+
+    wk_j = jnp.asarray(_freqs(d), qv_g.dtype)
+    p_pos = (jnp.arange(ng) * g).astype(qv_g.dtype)       # (Ng,)
+    ang = p_pos[:, None] * wk_j[None, :]                  # (Ng, D/2)
+    s = jnp.sin(ang)[None, None]
+    c = jnp.cos(ang)[None, None]
+
+    even = s * p_acc + c * q_acc                          # (B, H, Ng, D/2)
+    odd = s * q_acc - c * p_acc
+    return jnp.stack([even, odd], axis=-1).reshape(b, h, ng, d)
+
+
+def _grouped_fold_weights(
+    qv_g: jnp.ndarray, pos_kernel: jnp.ndarray, g: int, hidden_len: int
+) -> jnp.ndarray:
+    """(H, dhg, 2, D/2) folded weights mapping grouped qv to the P (s=0) and
+    Q (s=1) accumulators; see grouped_rel_query_features for the derivation.
+    """
+    _, h, _, dhg = qv_g.shape
+    d = pos_kernel.shape[0]
 
     # Grouped-encoding feature f = head*dhg + l lies in chunk r = f // D and
     # maps to sinusoid-kernel row f % D (h*dhg == g*d by construction). The
@@ -155,16 +258,4 @@ def grouped_rel_query_features(
         pos_kernel.astype(qv_g.dtype),
         jnp.asarray(coeff, qv_g.dtype),
     )                                                     # (H, dhg, 2, D/2)
-    pq = jnp.einsum("bhnl,hlsj->bhnsj", qv_g, w_pq)       # (B, H, Ng, 2, D/2)
-    p_acc = pq[..., 0, :]
-    q_acc = pq[..., 1, :]
-
-    wk_j = jnp.asarray(wk, qv_g.dtype)
-    p_pos = (jnp.arange(ng) * g).astype(qv_g.dtype)       # (Ng,)
-    ang = p_pos[:, None] * wk_j[None, :]                  # (Ng, D/2)
-    s = jnp.sin(ang)[None, None]
-    c = jnp.cos(ang)[None, None]
-
-    even = s * p_acc + c * q_acc                          # (B, H, Ng, D/2)
-    odd = s * q_acc - c * p_acc
-    return jnp.stack([even, odd], axis=-1).reshape(b, h, ng, d)
+    return w_pq

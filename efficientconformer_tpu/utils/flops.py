@@ -133,6 +133,23 @@ def count_flops(jaxpr, while_trip_estimate: int = 0) -> int:
             if branches:
                 total += max(count_flops(b.jaxpr, while_trip_estimate)
                              for b in branches)
+        elif prim == "pallas_call":
+            # Prefer the kernel's declared CostEstimate: our kernels declare
+            # SEMANTIC (unpadded) matmul FLOPs there, keeping MFU on the
+            # model-FLOPs convention (padded lane dims would flatter it).
+            # Fallback: the kernel jaxpr is the PER-BLOCK program, so its
+            # dots run once per grid point (counted at padded shapes).
+            ce = eqn.params.get("cost_estimate")
+            if ce is not None and getattr(ce, "flops", None):
+                total += int(ce.flops)
+            else:
+                grid = eqn.params["grid_mapping"].grid
+                n_blocks = 1
+                for g in grid:
+                    n_blocks *= int(g)
+                total += n_blocks * count_flops(
+                    eqn.params["jaxpr"], while_trip_estimate
+                )
         else:
             # generic recursion: pjit, remat/checkpoint, custom_vjp/jvp, ...
             for v in eqn.params.values():

@@ -265,6 +265,83 @@ def test_streaming_noncausal_finite_right_context_exact():
         )
 
 
+def _structured_audio(rng, seconds: float, sr: int = 16000) -> np.ndarray:
+    """Random tone segments + noise floor (same generator as
+    scripts/streaming_operating_point.py): gives the random-weight encoder
+    distinct, time-varying frames so greedy decodes are non-degenerate."""
+    t = np.arange(int(seconds * sr)) / sr
+    x = 0.02 * rng.standard_normal(t.shape)
+    pos = 0.0
+    while pos < seconds:
+        dur = float(rng.uniform(0.08, 0.4))
+        f = float(rng.uniform(80, 4000))
+        seg = (t >= pos) & (t < pos + dur)
+        x[seg] += float(rng.uniform(0.1, 0.5)) * np.sin(
+            2 * np.pi * f * t[seg] + rng.uniform(0, 6.28)
+        )
+        pos += dur + float(rng.uniform(0.0, 0.15))
+    return x.astype(np.float32)
+
+
+def test_streaming_operating_point_token_bound():
+    """CI pin of the documented streaming operating point (BENCH_DETAILS.md
+    'Streaming operating point'): at history=128 / lookahead=16 output frames
+    — the recommended setting measured on the real EfficientConformerCTCSmall
+    geometry by scripts/streaming_operating_point.py — the token-level
+    disagreement between the streamed greedy CTC decode and the
+    full-utterance batch decode stays within the acceptance threshold on the
+    ECF-shaped config. Random weights are the CONSERVATIVE regime (no trained
+    confidence peaks), so this bound is pessimistic for a real checkpoint.
+    Reference context machinery being approximated:
+    /root/reference/models/attentions.py:1377-1403 (the shipped configs are
+    full-context, so any bounded window is approximate by construction)."""
+    from efficientconformer_tpu.utils.metrics import _edit_distance
+
+    enc = dict(ECF_SHAPED)
+    model = ModelCTC(encoder_params=enc, vocab_size=17)
+    b, seconds = 2, 20.0
+    t = int(16000 * seconds)
+    rng = np.random.default_rng(3)
+    audio = np.stack([_structured_audio(rng, seconds) for _ in range(b)])
+    x_len = jnp.full((b,), t, jnp.int32)
+    variables = model.init(jax.random.PRNGKey(2), jnp.asarray(audio[:1]),
+                           x_len[:1])
+    encode = jax.jit(lambda a, l: model.apply(variables, a, l, False))
+
+    # truth: padded-batch pipeline decode of the full utterance
+    padded = jnp.concatenate(
+        [jnp.asarray(audio), jnp.zeros((b, 64000), jnp.float32)], axis=1)
+    want, _, _ = model.apply(variables, padded, x_len, False)
+    cap = encoder_output_frames(enc, t)
+    toks_t, n_t = ctc_greedy_collapse(
+        jnp.argmax(want[:, :cap], -1), jnp.full((b,), cap))
+    truth = [np.asarray(toks_t)[i, : int(n_t[i])].tolist() for i in range(b)]
+    n_truth = sum(len(s) for s in truth)
+    assert n_truth >= 20, "degenerate decode; structured audio failed"
+
+    sess = S.StreamingEncoderSession(
+        encode_fn=encode, encoder_params=enc, batch_size=b,
+        chunk_frames=16, history_frames=128, lookahead_frames=16,
+    )
+    got = np.concatenate(
+        [em.valid for em in
+         sess.push(audio) + sess.finish(np.asarray(x_len))], axis=1)
+    toks_s, n_s = ctc_greedy_collapse(
+        jnp.argmax(jnp.asarray(got[:, :cap]), -1), jnp.full((b,), cap))
+    stream = [np.asarray(toks_s)[i, : int(n_s[i])].tolist() for i in range(b)]
+
+    dist = sum(
+        _edit_distance([str(x) for x in truth[i]], [str(x) for x in stream[i]])
+        for i in range(b)
+    )
+    tok_dis = dist / n_truth
+    # acceptance threshold: the measured grid puts the real-geometry
+    # operating point at 0.6-4.2% token disagreement; 10% leaves margin for
+    # the toy width + random weights while still failing on any regression
+    # that breaks window stitching or context retention
+    assert tok_dis <= 0.10, (tok_dis, truth, stream)
+
+
 def test_streaming_full_context_measured_bound():
     """The shipped configs are full-context (left = right = max_pos_encoding,
     reference models/encoders.py:68): bounded-latency streaming is
