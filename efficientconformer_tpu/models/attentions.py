@@ -268,19 +268,27 @@ class MultiHeadSelfAttention(nn.Module):
                     )
                     hdp = -(-(d // 2) // 128) * 128
                     if _use_fused_relpos(nq_, nk_, dh, 2 * hdp):
-                        # fused kernel: P/Q accumulators in, rel bias formed
-                        # in VMEM — no A/C features in HBM at all
+                        # fused kernel: per-head folded weights + bias delta
+                        # in, P/Q accumulators and the rel bias formed in
+                        # VMEM — no per-token rel tensor in HBM at all.
+                        # qv_g = group_time(qp + vbias) = qu_g + delta with
+                        # delta[h, l] = (vbias - u)[(h*dhg + l) % D] — a
+                        # tile-G of the bias difference (group_time folds G
+                        # frames into the head dim, ops/attention.py:159).
                         from efficientconformer_tpu.ops import (
                             pallas_rel_attention as PRA,
                         )
 
-                        pq = RF.rel_pq_grouped(qv, w, g, hdp, hid_len)
+                        delta = jnp.tile(
+                            (vbias - u).astype(x.dtype), g
+                        ).reshape(h, dh)
+                        w_h = RF.rel_w_grouped(h, dh, w, g, hdp, hid_len)
                         rowtab = RF.rel_rowtab(nq_, d, hdp, x.dtype, stride=g)
                         keytab = RF.rel_keytab_halves(
                             nk_, d, hdp, x.dtype, stride=g
                         )
                         o = PRA.fused_relpos_attention(
-                            qu, kg, vg, pq, rowtab, keytab, bias,
+                            qu, kg, vg, delta, w_h, rowtab, keytab, bias,
                             1.0 / math.sqrt(dh), d,
                         )
                     else:
@@ -443,17 +451,20 @@ class MultiHeadSelfAttention(nn.Module):
                 nq_, nk_ = qu.shape[2], kh.shape[2]
                 hdp = -(-(d // 2) // 128) * 128
                 if _use_fused_relpos(nq_, nk_, dh, 2 * hdp):
+                    # per-head folded weights + bias delta in; qv = qu +
+                    # delta with delta = split_heads(vbias - u)
                     from efficientconformer_tpu.ops import (
                         pallas_rel_attention as PRA,
                     )
 
-                    pq = RF.rel_pq_plain(qv, w, hdp)
+                    delta = (vbias - u).astype(x.dtype).reshape(h, dh)
+                    w_h = RF.rel_w_plain(w, h, hdp)
                     rowtab = RF.rel_rowtab(
                         nq_, d, hdp, x.dtype, hidden_len=hid_len
                     )
                     keytab = RF.rel_keytab_halves(nk_, d, hdp, x.dtype)
                     o = PRA.fused_relpos_attention(
-                        qu, kh, vh, pq, rowtab, keytab, bias,
+                        qu, kh, vh, delta, w_h, rowtab, keytab, bias,
                         1.0 / math.sqrt(dh), d,
                     )
                 else:

@@ -80,18 +80,50 @@ def rel_keytab_halves(
     )
 
 
-def rel_pq_plain(qv: jnp.ndarray, pos_kernel: jnp.ndarray, hdp: int) -> jnp.ndarray:
-    """(B, H, N, 2*hdp) [P | Q] accumulators for the plain factorization:
-    P = alpha (even gamma rows), Q = beta (odd rows); see rel_query_features.
-    One einsum against half-separated, pre-padded weights."""
-    b, h, n, dh = qv.shape
+def rel_w_plain(
+    pos_kernel: jnp.ndarray, num_heads: int, hdp: int
+) -> jnp.ndarray:
+    """(H, dh, 2*hdp) folded per-head weights for the plain factorization:
+    pq[b, h, n] = qv[b, h, n] @ w[h] gives the [P | Q] halves (P = alpha =
+    even gamma rows, Q = beta = odd rows; see rel_query_features). TINY
+    (weight-sized): the fused kernel (ops/pallas_rel_attention.py) takes this
+    instead of the (B, H, N, 2*hdp) pq tensor so the accumulators never
+    round-trip HBM."""
     d = pos_kernel.shape[0]
+    h = num_heads
+    dh = d // h
     w = pos_kernel.reshape(d, h, dh)
     wa = w[0::2]                                          # (D/2, H, dh)
     wb = w[1::2]
     zeros = jnp.zeros((hdp - d // 2, h, dh), w.dtype)
     w_half = jnp.concatenate([wa, zeros, wb, zeros], axis=0)   # (2hdp, H, dh)
-    return jnp.einsum("bhnd,khd->bhnk", qv, w_half)
+    return w_half.transpose(1, 2, 0)                      # (H, dh, 2hdp)
+
+
+def rel_w_grouped(
+    num_heads: int, dim_head_g: int, pos_kernel: jnp.ndarray,
+    group_size: int, hdp: int, hidden_len: int = 0,
+) -> jnp.ndarray:
+    """(H, dhg, 2*hdp) chunk-phase-folded per-head weights for the grouped
+    factorization (same contract as rel_w_plain)."""
+    w_pq = _grouped_fold_weights(
+        num_heads, dim_head_g, pos_kernel, group_size, hidden_len
+    )
+    hd = w_pq.shape[-1]
+    return jnp.concatenate(
+        [
+            jnp.pad(w_pq[:, :, 0], ((0, 0), (0, 0), (0, hdp - hd))),
+            jnp.pad(w_pq[:, :, 1], ((0, 0), (0, 0), (0, hdp - hd))),
+        ],
+        axis=-1,
+    )                                                     # (H, dhg, 2hdp)
+
+
+def rel_pq_plain(qv: jnp.ndarray, pos_kernel: jnp.ndarray, hdp: int) -> jnp.ndarray:
+    """(B, H, N, 2*hdp) [P | Q] accumulators for the plain factorization
+    (tests / XLA paths; the fused kernel computes this product in VMEM)."""
+    h = qv.shape[1]
+    return jnp.einsum("bhnd,hdk->bhnk", qv, rel_w_plain(pos_kernel, h, hdp))
 
 
 def rel_pq_grouped(
@@ -99,17 +131,10 @@ def rel_pq_grouped(
     hidden_len: int = 0,
 ) -> jnp.ndarray:
     """(B, H, Ng, 2*hdp) [P | Q] chunk-phase-folded accumulators for the
-    grouped factorization (same math as grouped_rel_query_features, stopping
-    at P/Q instead of forming the interleaved A features)."""
-    w_pq = _grouped_fold_weights(qv_g, pos_kernel, group_size, hidden_len)
-    h, dhg, _, hd = w_pq.shape
-    w_half = jnp.concatenate(
-        [
-            jnp.pad(w_pq[:, :, 0], ((0, 0), (0, 0), (0, hdp - hd))),
-            jnp.pad(w_pq[:, :, 1], ((0, 0), (0, 0), (0, hdp - hd))),
-        ],
-        axis=-1,
-    )                                                     # (H, dhg, 2hdp)
+    grouped factorization (tests / XLA paths; the fused kernel computes this
+    product in VMEM)."""
+    _, h, _, dhg = qv_g.shape
+    w_half = rel_w_grouped(h, dhg, pos_kernel, group_size, hdp, hidden_len)
     return jnp.einsum("bhnl,hlk->bhnk", qv_g, w_half)
 
 
@@ -180,7 +205,7 @@ def grouped_rel_query_features(
     b, h, ng, dhg = qv_g.shape
     d = pos_kernel.shape[0]
     g = group_size
-    w_pq = _grouped_fold_weights(qv_g, pos_kernel, g, hidden_len)
+    w_pq = _grouped_fold_weights(h, dhg, pos_kernel, g, hidden_len)
     pq = jnp.einsum("bhnl,hlsj->bhnsj", qv_g, w_pq)       # (B, H, Ng, 2, D/2)
     p_acc = pq[..., 0, :]
     q_acc = pq[..., 1, :]
@@ -197,12 +222,11 @@ def grouped_rel_query_features(
 
 
 def _grouped_fold_weights(
-    qv_g: jnp.ndarray, pos_kernel: jnp.ndarray, g: int, hidden_len: int
+    h: int, dhg: int, pos_kernel: jnp.ndarray, g: int, hidden_len: int
 ) -> jnp.ndarray:
     """(H, dhg, 2, D/2) folded weights mapping grouped qv to the P (s=0) and
     Q (s=1) accumulators; see grouped_rel_query_features for the derivation.
     """
-    _, h, _, dhg = qv_g.shape
     d = pos_kernel.shape[0]
 
     # Grouped-encoding feature f = head*dhg + l lies in chunk r = f // D and
@@ -254,8 +278,8 @@ def _grouped_fold_weights(
     # onehot/coeff contractions are tiny weight-side ops, fused at compile
     w_pq = jnp.einsum(
         "hlrd,kd,rksj->hlsj",
-        jnp.asarray(onehot, qv_g.dtype),
-        pos_kernel.astype(qv_g.dtype),
-        jnp.asarray(coeff, qv_g.dtype),
+        jnp.asarray(onehot, pos_kernel.dtype),
+        pos_kernel,
+        jnp.asarray(coeff, pos_kernel.dtype),
     )                                                     # (H, dhg, 2, D/2)
     return w_pq

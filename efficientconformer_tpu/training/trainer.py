@@ -130,12 +130,22 @@ class Trainer:
                 grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
                 return (grads_acc, loss_acc + loss, new_bs), None
 
-            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
-            (grads, loss_sum, batch_stats), _ = jax.lax.scan(
-                scan_body, (zero_grads, 0.0, state.batch_stats), batch
-            )
-            grads = jax.tree.map(lambda g: g / accum, grads)
-            loss = loss_sum / accum
+            if accum == 1:
+                # no accumulation: skip the scan — XLA keeps forward saves
+                # live across the while-loop body boundary as explicit HBM
+                # copies (measured ~9% of step time at CTC Large b16), which
+                # a straight-line program avoids entirely
+                mb = jax.tree.map(lambda x: x[0], batch)
+                (loss, batch_stats), grads = jax.value_and_grad(
+                    microbatch_loss, has_aux=True
+                )(state.params, state.batch_stats, mb, rng, state.step)
+            else:
+                zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+                (grads, loss_sum, batch_stats), _ = jax.lax.scan(
+                    scan_body, (zero_grads, 0.0, state.batch_stats), batch
+                )
+                grads = jax.tree.map(lambda g: g / accum, grads)
+                loss = loss_sum / accum
 
             if freeze_encoder and "encoder" in grads:
                 grads = dict(grads)

@@ -88,10 +88,12 @@ def relpos_sweep():
         bias = jnp.zeros((b, 1, 1, n), jnp.float32)
         scale = 1.0 / np.sqrt(dh)
 
+        delta = jnp.zeros((h, dh), jnp.bfloat16)
+        w_h = RF.rel_w_plain(w, h, hdp)
+
         def fused(qu, k, v, qv):
-            pq = RF.rel_pq_plain(qv, w, hdp)
             return PRA.fused_relpos_attention(
-                qu, k, v, pq, rowtab, keytab, bias, scale)
+                qu, k, v, delta, w_h, rowtab, keytab, bias, scale)
 
         def xla(qu, k, v, qv):
             a_feat = RF.rel_query_features(qv, np.asarray(w).astype(np.float32))
