@@ -67,7 +67,9 @@ def _use_fused(fused: Optional[bool], q, k, v) -> bool:
         return env not in ("0", "false", "off")
     import jax
 
-    if jax.default_backend() in ("cpu",):
+    # The kernels use pltpu.CompilerParams: TPU-only. Any other backend
+    # (cpu, gpu, ...) takes the XLA path (ADVICE r4).
+    if jax.default_backend() != "tpu":
         return False
     from efficientconformer_tpu.ops import pallas_attention as PA
 
@@ -100,11 +102,20 @@ def _use_fused_relpos(nq: int, nk: int, dh: int, hd2: int) -> bool:
         return env not in ("0", "false", "off")
     import jax
 
-    if jax.default_backend() in ("cpu",):
+    if jax.default_backend() != "tpu":
         return False
     from efficientconformer_tpu.ops import pallas_rel_attention as PRA
 
     return PRA.fits_vmem(nq, nk, dh, hd2)
+
+
+def _lane_half(d: int) -> int:
+    """Lane-padded half-width for the fused rel-pos layout — single source
+    of truth is ops/pallas_rel_attention.lane_half (ADVICE r4: the prep
+    layout and the kernel must agree on the lane size)."""
+    from efficientconformer_tpu.ops.pallas_rel_attention import lane_half
+
+    return lane_half(d)
 
 
 def _attend(q, k, v, bias, scale, fused: Optional[bool]):
@@ -266,7 +277,7 @@ class MultiHeadSelfAttention(nn.Module):
                         mask_p[:, :, ::g, ::g] * A.NEG_INF
                         if mask_p is not None else None
                     )
-                    hdp = -(-(d // 2) // 128) * 128
+                    hdp = _lane_half(d)
                     if _use_fused_relpos(nq_, nk_, dh, 2 * hdp):
                         # fused kernel: per-head folded weights + bias delta
                         # in, P/Q accumulators and the rel bias formed in
@@ -449,7 +460,7 @@ class MultiHeadSelfAttention(nn.Module):
                 w = pos_layer.variables["params"]["kernel"].astype(x.dtype)
                 bias = mask * A.NEG_INF if mask is not None else None
                 nq_, nk_ = qu.shape[2], kh.shape[2]
-                hdp = -(-(d // 2) // 128) * 128
+                hdp = _lane_half(d)
                 if _use_fused_relpos(nq_, nk_, dh, 2 * hdp):
                     # per-head folded weights + bias delta in; qv = qu +
                     # delta with delta = split_heads(vbias - u)

@@ -111,7 +111,7 @@ def _pallas_bwd_enabled(nq: int, nk: int, d: int) -> bool:
     Large 8x16 s bf16, scripts/train_bench.py), so it keeps the default."""
     if PALLAS_BWD is not None:
         return PALLAS_BWD
-    if jax.default_backend() in ("cpu",):
+    if jax.default_backend() != "tpu":
         return False
     return not fits_vmem(nq, nk, d)
 

@@ -66,19 +66,29 @@ from efficientconformer_tpu.ops.pallas_attention import (
 )
 
 
+def lane_half(d: int) -> int:
+    """Lane-padded half-width: hd = round_up(d // 2, LANE). The prep helpers
+    and the dispatch sites in models/attentions.py must agree on this."""
+    return _round_up(d // 2, LANE)
+
+
 def fits_vmem(n: int, nk: int, dh: int, hd2: int) -> bool:
-    """Single-block VMEM need: qu/k/v/o + qv/pq working + W (+ dW accumulator
-    in the backward) + tables + A + scores/probs."""
+    """Single-block VMEM need, sized on the BACKWARD kernel's live set (the
+    larger of the two passes): q-side tokens (qu, do, dqu + qv working),
+    k-side tokens (k, v, dk, dv), pq/dpq/A/dA working copies, W + dW
+    accumulator, tables, and four (N, Nk) fp32 tensors (scores, probs, dpmat,
+    ds). Over-counting here only costs a fallback to the XLA factorized path;
+    under-counting is a compile error (ADVICE r4)."""
     np_ = _round_up(n, SUBLANE)
     nkp = _round_up(nk, SUBLANE)
     dhp = _round_up(dh, LANE)
     need = (
-        4 * np_ * dhp * 4                 # qu, o (+ slack for qv/dqu reuse)
-        + 2 * nkp * dhp * 4               # k, v
-        + np_ * hd2 * 4 * 2               # pq + A (fp32 working copies)
+        4 * np_ * dhp * 4                 # qu, do, dqu, qv
+        + 4 * nkp * dhp * 4               # k, v, dk, dv
+        + 4 * np_ * hd2 * 4               # pq, dpq, A, dA (fp32 working)
         + 2 * dhp * hd2 * 4               # W + dW accumulator
         + (np_ + nkp) * hd2 * 4           # rowtab + keytab
-        + 2 * np_ * nkp * 4               # scores + probs (fp32)
+        + 4 * np_ * nkp * 4               # scores, probs, dpmat, ds (fp32)
     )
     return need < VMEM_BUDGET
 
@@ -128,11 +138,14 @@ def _fwd_kernel(qu_ref, k_ref, v_ref, delta_ref, w_ref, rowtab_ref,
 
 def _bwd_kernel(qu_ref, k_ref, v_ref, delta_ref, w_ref, rowtab_ref,
                 keytab_ref, bias_ref, do_ref, lse_ref,
-                dqu_ref, dk_ref, dv_ref, dw_ref, ddelta_ref, *, scale: float):
+                dqu_ref, dk_ref, dv_ref, dw_ref, ddelta_ref, dbias_ref,
+                *, scale: float):
     """One pass per (h, b): recompute p from the saved LSE, then all
     per-token gradients without any (N, Nk) tensor leaving VMEM. dW and
     ddelta reduce over the batch axis (grid axis 1, fastest) into
-    VMEM-resident per-head accumulator blocks."""
+    VMEM-resident per-head accumulator blocks. dbias is the per-(h, b) row
+    reduction of ds (the bias enters the softmax input additively broadcast
+    over query rows); the launcher folds it back to the bias shape."""
     qu = qu_ref[0, 0]
     k = k_ref[0, 0]
     v = v_ref[0, 0]
@@ -147,6 +160,7 @@ def _bwd_kernel(qu_ref, k_ref, v_ref, delta_ref, w_ref, rowtab_ref,
     )
     di = jnp.sum(p * dpmat, axis=-1, keepdims=True)
     ds = p * (dpmat - di)
+    dbias_ref[0, 0] = jnp.sum(ds, axis=0, keepdims=True)  # (1, Nkp)
     dsv = ds.astype(v.dtype)
     dk_ref[0, 0] = (scale * jax.lax.dot_general(
         dsv, qu, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
@@ -328,7 +342,7 @@ def _bwd_rule(scale, d_sem, res, g):
         [lse[:, :, :n], jnp.full((b, h, np_ - n, LANE), 1e9, jnp.float32)],
         axis=2,
     ) if np_ > n else lse
-    dqu, dk, dv, dw, ddelta = pl.pallas_call(
+    dqu, dk, dv, dw, ddelta, dbias_hb = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale),
         grid=(h, b),
         in_specs=[spec_q, spec_kv, spec_kv, spec_delta, spec_w, spec_row,
@@ -337,6 +351,8 @@ def _bwd_rule(scale, d_sem, res, g):
                    pl.BlockSpec((1, dhp, hd2), lambda i, j: (i, 0, 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((1, 1, dhp), lambda i, j: (i, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 1, 1, nkp), lambda i, j: (i, j, 0, 0),
                                 memory_space=pltpu.VMEM)],
         out_shape=[
             jax.ShapeDtypeStruct((b, h, np_, dhp), qu.dtype),
@@ -344,6 +360,7 @@ def _bwd_rule(scale, d_sem, res, g):
             jax.ShapeDtypeStruct((b, h, nkp, dhp), v.dtype),
             jax.ShapeDtypeStruct((h, dhp, hd2), jnp.float32),
             jax.ShapeDtypeStruct((h, 1, dhp), jnp.float32),
+            jax.ShapeDtypeStruct((h, b, 1, nkp), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_BUDGET),
         # semantic model FLOPs: score recompute (2dh + d_rel + pq) + dpmat,
@@ -356,14 +373,27 @@ def _bwd_rule(scale, d_sem, res, g):
             transcendentals=b * h * np_ * nkp,
         ),
     )(qu_p, k_p, v_p, delta_p, w_p, row_p, key_p, bias_p, do_p, lse_safe)
-    # tables are position constants and the bias is a length-derived mask:
-    # no parameter gradient flows through them
+    # tables are position constants: no parameter gradient flows through
+    # them. The bias cotangent is real (ADVICE r4): fold the per-(h, b) ds
+    # row reductions back through the (B or 1, 1, 1, Nk) broadcast.
+    if bias is None:
+        dbias = None
+    else:
+        assert bias.ndim == 4 and bias.shape[1] == bias.shape[2] == 1, (
+            "fused rel-pos bias layout contract is (B or 1, 1, 1, Nk)"
+        )
+        db = jnp.sum(dbias_hb[:, :, 0, :nk], axis=0)      # (B, Nk): sum heads
+        if bias.shape[0] == 1:
+            db = jnp.sum(db, axis=0, keepdims=True)        # broadcast batch
+        if bias.shape[-1] == 1:
+            db = jnp.sum(db, axis=-1, keepdims=True)       # broadcast keys
+        dbias = db[:, None, None, :].astype(bias.dtype)
     return (
         dqu[:, :, :n, :dh], dk[:, :, :nk, :dh], dv[:, :, :nk, :dh],
         ddelta[:, 0, :dh].astype(delta.dtype),
         dw[:, :dh, :].astype(w.dtype),
         jnp.zeros_like(rowtab), jnp.zeros_like(keytab),
-        jnp.zeros_like(bias) if bias is not None else None,
+        dbias,
     )
 
 

@@ -263,16 +263,21 @@ def evaluate_lm(trainer: Trainer, state, dataset, *,
 def evaluate(trainer: Trainer, state, dataset, tokenizer, *,
              batch_size: int = 8, eval_steps: Optional[int] = None,
              verbose: bool = False, max_consec: int = 5, beam_size: int = 1,
-             eval_loss: bool = False, lm=None, num_workers: int = 0):
+             eval_loss: bool = False, lm=None, num_workers: int = 0,
+             audio_pad_align: Optional[int] = None):
     """Evaluation -> (wer, truths, preds, mean_loss). Reference model.py:386-490.
 
     Multi-host: each process decodes its shard of the dataset, then the
     string lists are gathered across processes before the corpus-level WER
-    (the reference's all_gather_object, model.py:457-477)."""
+    (the reference's all_gather_object, model.py:457-477).
+
+    ``audio_pad_align`` keeps eval buckets SP-divisible under a seq mesh so
+    evaluation doesn't silently degrade to data parallelism (ADVICE r4)."""
     nproc = jax.process_count()
     loader = AsrBatchLoader(dataset, batch_size, shuffle=False, drop_last=False,
                             num_workers=num_workers,
-                            shard_id=jax.process_index(), num_shards=nproc)
+                            shard_id=jax.process_index(), num_shards=nproc,
+                            audio_pad_align=audio_pad_align)
     truths, preds = [], []
     total_loss, n_loss = 0.0, 0
     loss_fn = trainer.eval_loss_fn() if eval_loss else None
@@ -388,6 +393,17 @@ def run(args):
     mode_base = args.mode.split("-")[0]
     tp = config.training_params
 
+    # --seq_parallel: align every bucket's static pad length so the WHOLE
+    # encoder frame schedule divides the seq axis (full SP coverage; see
+    # parallel.mesh.sp_pad_align). Computed once and applied to BOTH the
+    # training and evaluation loaders — an unaligned eval batch would
+    # silently degrade SP to DP (ADVICE r4).
+    sp_pad = None
+    if tp.get("seq_parallel", 1) > 1:
+        from efficientconformer_tpu.parallel.mesh import sp_pad_align
+
+        sp_pad = sp_pad_align(config.encoder_params, tp["seq_parallel"])
+
     def make_eval_dataset():
         split = EVAL_SPLITS.get(args.mode, "dev-clean")
         return LibriSpeechDataset(
@@ -452,22 +468,13 @@ def run(args):
                 audio_max_length=tp.get("train_audio_max_length"),
                 label_max_length=tp.get("train_label_max_length"),
             )
-            # --seq_parallel: align every bucket's static pad length so the
-            # WHOLE encoder frame schedule divides the seq axis (full SP
-            # coverage; see parallel.mesh.sp_pad_align)
-            pad_align = None
-            if tp.get("seq_parallel", 1) > 1:
-                from efficientconformer_tpu.parallel.mesh import sp_pad_align
-                pad_align = sp_pad_align(
-                    config.encoder_params, tp["seq_parallel"]
-                )
             loader = AsrBatchLoader(
                 train_ds, tp["batch_size"],
                 accum_steps=tp.get("accumulated_steps", 1),
                 num_workers=args.num_workers,
                 shard_id=jax.process_index(),
                 num_shards=jax.process_count(),
-                audio_pad_align=pad_align,
+                audio_pad_align=sp_pad,
             )
         writer = None
         try:
@@ -507,6 +514,7 @@ def run(args):
                         trainer, st, val_ds, tokenizer,
                         batch_size=args.batch_size_eval,
                         eval_steps=args.val_steps,
+                        audio_pad_align=sp_pad,
                         eval_loss=True,
                     )
                     out = {"WER": 100.0 * w}
@@ -559,6 +567,7 @@ def run(args):
             eval_loss=args.eval_loss,
             lm=lm,
             num_workers=args.num_workers,
+            audio_pad_align=sp_pad,
         )
         kind = "Greedy" if beam <= 1 else "Beam"
         print("{} Search WER : {:.2f}%".format(kind, 100 * w))

@@ -130,11 +130,13 @@ class Trainer:
                 grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
                 return (grads_acc, loss_acc + loss, new_bs), None
 
-            if accum == 1:
-                # no accumulation: skip the scan — XLA keeps forward saves
-                # live across the while-loop body boundary as explicit HBM
-                # copies (measured ~9% of step time at CTC Large b16), which
-                # a straight-line program avoids entirely
+            if accum == 1 and os.environ.get("ECF_ACCUM_SCAN") != "1":
+                # no accumulation: skip the scan. A straight-line program
+                # avoids the forward saves being kept live across the
+                # while-loop body boundary as explicit HBM copies.
+                # ECF_ACCUM_SCAN=1 forces the scan path for A/B measurement
+                # (round-5 attribution: the on-chip A/B at CTC Large b16
+                # measured the two paths equal — see BENCH_DETAILS.md).
                 mb = jax.tree.map(lambda x: x[0], batch)
                 (loss, batch_stats), grads = jax.value_and_grad(
                     microbatch_loss, has_aux=True

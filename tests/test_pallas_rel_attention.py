@@ -223,3 +223,23 @@ def test_module_fused_gradients_equal_skewing(monkeypatch, g):
             np.asarray(flat_f[path]), np.asarray(val), atol=2e-4,
             err_msg=jax.tree_util.keystr(path),
         )
+
+
+@pytest.mark.parametrize("bb", [1, 3])
+def test_fused_bias_gradient_matches_reference(bb):
+    """The bias cotangent is real (ADVICE r4): grad wrt the additive key
+    bias equals the jnp reference for batched (bb=B) and broadcast (bb=1)
+    bias shapes, including padded query rows (n=11 -> np_=16)."""
+    qu, delta, k, v, w, w_h, rowtab, keytab = _plain_inputs(
+        b=3, h=2, n=11, nk=11, d=16, seed=77
+    )
+    bias = rand(bb, 1, 1, 11, seed=80 + bb) * 0.3
+
+    def loss(fn):
+        return lambda bias_: jnp.sum(
+            jnp.sin(fn(qu, k, v, delta, w_h, rowtab, keytab, bias_, 0.4))
+        )
+
+    g1 = jax.grad(loss(pra.fused_relpos_attention))(bias)
+    g2 = jax.grad(loss(pra.reference_relpos_attention))(bias)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
