@@ -6,6 +6,16 @@ lattice); the caller takes the batch mean like the reference.
 
 Shapes: log_probs (B, T, V) float; labels (B, U) int (0-padded);
 f_len (B,), y_len (B,).
+
+The per-state emission table emit[b, t, s] = log_probs[b, t, ext[b, s]] is
+built as a one-hot MATMUL rather than take_along_axis: the gather lowers to
+a slow per-element indexed load on TPU and — worse — its transpose is a
+scatter-add back onto (B, T, V). Measured at the CTC Large training shape
+(B=16, T=201, V=256, U=80) on v5e, the whole loss fwd+bwd is 13.0 ms with
+the gather vs 2.1 ms with the one-hot matmul (the lax.scan lattice itself
+was never the bottleneck: scan unroll made no difference). precision=
+"highest" keeps the f32 dot exact-grade (each row has a single 1.0), at
+negligible cost for this tiny contraction.
 """
 
 from __future__ import annotations
@@ -41,10 +51,11 @@ def ctc_loss(
     # Valid states: s < 2*y_len + 1
     state_valid = jnp.arange(s)[None, :] < (2 * y_len + 1)[:, None]
 
-    # Emission log-probs per state per frame: (B, T, S)
-    emit = jnp.take_along_axis(
-        log_probs, jnp.broadcast_to(ext[:, None, :], (b, t_max, s)), axis=2
-    )
+    # Emission log-probs per state per frame: (B, T, S) via one-hot matmul
+    # (gather forward + scatter backward are ~6x slower on TPU; see module
+    # docstring)
+    onehot = jax.nn.one_hot(ext, v, dtype=log_probs.dtype)
+    emit = jnp.einsum("btv,bsv->bts", log_probs, onehot, precision="highest")
 
     alpha0 = jnp.full((b, s), LOG_EPS)
     alpha0 = alpha0.at[:, 0].set(emit[:, 0, 0])

@@ -51,12 +51,20 @@ def main():
                     help="also measure the full step with the fused rel-pos "
                          "kernel forced off and with the accumulation scan "
                          "forced on (the two round-4 second-pass claims)")
+    ap.add_argument("--full-only", action="store_true",
+                    help="measure only the full train step (skip segments)")
     args = ap.parse_args()
     import os as _os
 
     import numpy as np
     import jax
     import jax.numpy as jnp
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from efficientconformer_tpu.config import load_config
     from efficientconformer_tpu.models import factory
@@ -116,38 +124,43 @@ def main():
     print(f"{args.config} b{args.batch} x {args.seconds:.0f}s, "
           f"mixed precision, iters={args.iters}")
 
-    # --- 2. forward + backward, no optimizer (run BEFORE the donating full
-    # step so `state`'s buffers are still live)
-    vag = jax.jit(lambda p, bs, m, r: jax.value_and_grad(
-        microbatch_loss, has_aux=True)(p, bs, m, r))
-    def fetch_vag(out):
-        float(out[0][0])
-    t_fwdbwd = bench("fwd+bwd (value_and_grad)", vag,
-                     (state.params, state.batch_stats, mb, key), fetch_vag)
+    t_fwdbwd = t_fwd = t_opt = t_enc = t_encb = None
+    from efficientconformer_tpu.models.model_ctc import ModelCTC
+    is_ctc = isinstance(model, ModelCTC)
 
-    # --- 3. forward only (loss)
-    fwd = jax.jit(microbatch_loss)
-    def fetch_fwd(out):
-        float(out[0])
-    t_fwd = bench("fwd (+loss)", fwd,
-                  (state.params, state.batch_stats, mb, key), fetch_fwd)
+    if args.full_only:
+        pass
+    else:
+        # --- 2. forward + backward, no optimizer (run BEFORE the donating
+        # full step so `state`'s buffers are still live)
+        vag = jax.jit(lambda p, bs, m, r: jax.value_and_grad(
+            microbatch_loss, has_aux=True)(p, bs, m, r))
+        def fetch_vag(out):
+            float(out[0][0])
+        t_fwdbwd = bench("fwd+bwd (value_and_grad)", vag,
+                         (state.params, state.batch_stats, mb, key), fetch_vag)
 
-    # --- 4. optimizer update alone (on ones-like grads)
-    grads = jax.tree.map(jnp.ones_like, state.params)
-    import optax
-    opt = jax.jit(lambda g, s, p: optax.apply_updates(
-        p, tx.update(g, s, p)[0]))
-    def fetch_opt(out):
-        jax.block_until_ready(out)
-        float(jax.tree.leaves(out)[0].reshape(-1)[0])
-    t_opt = bench("optimizer update alone", opt,
-                  (grads, state.opt_state, state.params), fetch_opt)
+        # --- 3. forward only (loss)
+        fwd = jax.jit(microbatch_loss)
+        def fetch_fwd(out):
+            float(out[0])
+        t_fwd = bench("fwd (+loss)", fwd,
+                      (state.params, state.batch_stats, mb, key), fetch_fwd)
+
+        # --- 4. optimizer update alone (on ones-like grads)
+        grads = jax.tree.map(jnp.ones_like, state.params)
+        import optax
+        opt = jax.jit(lambda g, s, p: optax.apply_updates(
+            p, tx.update(g, s, p)[0]))
+        def fetch_opt(out):
+            jax.block_until_ready(out)
+            float(jax.tree.leaves(out)[0].reshape(-1)[0])
+        t_opt = bench("optimizer update alone", opt,
+                      (grads, state.opt_state, state.params), fetch_opt)
 
     # --- 5. encoder forward only (training=True, no loss)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    from efficientconformer_tpu.models.model_ctc import ModelCTC
-    is_ctc = isinstance(model, ModelCTC)
-    if is_ctc:
+    if is_ctc and not args.full_only:
         enc = jax.jit(lambda v, a, al, r: model.apply(
             v, a, al, True,
             rngs={"dropout": jax.random.fold_in(r, 0),
@@ -223,11 +236,12 @@ def main():
     except Exception as e:
         print("cost analysis unavailable:", e)
 
-    print("\ndifferences:")
-    print(f"  optimizer (full - fwdbwd) : {(t_full - t_fwdbwd)*1e3:8.2f} ms"
-          f"   (alone: {t_opt*1e3:.2f})")
-    print(f"  backward (fwdbwd - fwd)   : {(t_fwdbwd - t_fwd)*1e3:8.2f} ms")
-    if is_ctc:
+    if t_fwdbwd is not None:
+        print("\ndifferences:")
+        print(f"  optimizer (full - fwdbwd) : {(t_full - t_fwdbwd)*1e3:8.2f} ms"
+              f"   (alone: {t_opt*1e3:.2f})")
+        print(f"  backward (fwdbwd - fwd)   : {(t_fwdbwd - t_fwd)*1e3:8.2f} ms")
+    if is_ctc and t_enc is not None:
         print(f"  CTC loss fwd (fwd - enc)  : {(t_fwd - t_enc)*1e3:8.2f} ms")
         print(f"  CTC loss fwd+bwd          : {(t_fwdbwd - t_encb)*1e3:8.2f} ms"
               " (vs sum-loss fwd+bwd)")
