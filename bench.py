@@ -112,7 +112,8 @@ def bench_train_step(config_name: str, batch: int, seconds: float,
     state = trainer.init_state(micro)
     step = trainer.train_step_fn()
     dbatch = {k: jnp.asarray(v[None]) for k, v in micro.items()}
-    key = jax.random.PRNGKey(0)
+    from efficientconformer_tpu.training.trainer import train_rng
+    key = train_rng(0)
 
     state, metrics = step(state, dbatch, key)   # compile
     float(metrics["loss"])

@@ -643,6 +643,7 @@ def bn_refresh(trainer: Trainer, state, dataset, steps: int = 100,
     per-batch statistics are recovered from the mutated running stats:
     batch = (new - m*old) / (1-m)."""
     from efficientconformer_tpu.models import factory
+    from efficientconformer_tpu.training import trainer as trainer_mod
 
     loader = AsrBatchLoader(dataset, 8, shuffle=True)
     base_stats = state.batch_stats
@@ -653,8 +654,8 @@ def bn_refresh(trainer: Trainer, state, dataset, steps: int = 100,
         variables = {"params": state.params, "batch_stats": base_stats}
         _, mutated = factory.apply_model(
             trainer.model, variables, mb, True,
-            rngs={"dropout": jax.random.PRNGKey(0),
-                  "augment": jax.random.PRNGKey(1)},
+            rngs={"dropout": trainer_mod.train_rng(0),
+                  "augment": trainer_mod.train_rng(1)},
         )
         batch_stats = jax.tree.map(
             lambda new, old: (new - momentum * old) / (1.0 - momentum),

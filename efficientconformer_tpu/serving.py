@@ -262,6 +262,7 @@ class StreamingServer:
         history_frames: Optional[int] = None,
         lookahead_frames: int = 2,
         decoder=None,
+        max_windows_per_tick: Optional[int] = None,
     ):
         p = encoder_params
         self.params = p
@@ -281,6 +282,15 @@ class StreamingServer:
         w_mel = self.window_frames * self.stride
         self.window_samples = (w_mel - 1) * self.hop
         self.chunk_samples = self.chunk_frames * self.samples_per_frame
+        # Bound on batched window steps per tick(). Slots with deeper audio
+        # backlog (burst uploads, drain phases) keep their remaining windows
+        # for the NEXT tick instead of extending this one — work-conserving
+        # (same total windows overall) but every caller sees a bounded tick
+        # latency of ~max_windows x one step, instead of the deepest
+        # backlog's. None = drain all complete windows per tick (the
+        # round-4 behavior; p95 then scales with backlog depth, measured
+        # 2.8-3.5 s at 128 slots on saturated offline pushes).
+        self.max_windows_per_tick = max_windows_per_tick
 
         self._slots = [_Slot() for _ in range(num_slots)]
         self._by_id: Dict[str, int] = {}       # stream_id -> slot index
@@ -423,6 +433,11 @@ class StreamingServer:
                 s.placed = True
 
         while True:
+            if (
+                self.max_windows_per_tick is not None
+                and out.windows_run >= self.max_windows_per_tick
+            ):
+                break
             run = [
                 s.state != IDLE and s.placed and self._runnable(s)
                 for s in self._slots

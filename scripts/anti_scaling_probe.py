@@ -72,7 +72,8 @@ def main():
         state = trainer.init_state(micro)
         step = trainer.train_step_fn()
         dbatch = {k: jnp.asarray(v[None]) for k, v in micro.items()}
-        key = jax.random.PRNGKey(0)
+        from efficientconformer_tpu.training.trainer import train_rng
+        key = train_rng(0)
 
         # compiled-program introspection
         jitted = jax.jit(step)

@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--lookahead", type=int, default=4)
     ap.add_argument("--stream-seconds", type=float, default=10.0)
     ap.add_argument("--streams", type=int, default=96)
+    ap.add_argument("--max-windows", type=int, default=None,
+                    help="cap batched window steps per tick (bounds tick "
+                         "latency; work-conserving)")
     ap.add_argument("--decoder", default="ctc", choices=["ctc", "transducer"],
                     help="transducer uses the config's decoder/joint params "
                          "and the on-device greedy decode state pool")
@@ -86,7 +89,7 @@ def main():
     srv = StreamingServer(
         encode, enc, num_slots=args.slots, chunk_frames=args.chunk_frames,
         history_frames=args.history, lookahead_frames=args.lookahead,
-        decoder=decoder,
+        decoder=decoder, max_windows_per_tick=args.max_windows,
     )
     print(
         f"slots={args.slots} window={srv.window_samples/enc['sample_rate']:.2f}s "

@@ -61,7 +61,8 @@ def main():
     trainer = Trainer(cfg)
     state = trainer.init_state(micro)
     batch = {k: jnp.asarray(v)[None] for k, v in micro.items()}
-    key = jax.random.PRNGKey(0)
+    from efficientconformer_tpu.training.trainer import train_rng
+    key = train_rng(0)
 
     step = trainer.train_step_fn()
     import time

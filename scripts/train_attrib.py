@@ -91,7 +91,8 @@ def main():
     model, loss_fn, tx = trainer.model, trainer.loss_fn, trainer.tx
     mb = {k: jnp.asarray(v) for k, v in micro.items()}
     batch = {k: v[None] for k, v in mb.items()}
-    key = jax.random.PRNGKey(0)
+    from efficientconformer_tpu.training.trainer import train_rng
+    key = train_rng(0)
 
     def microbatch_loss(params, batch_stats, mbatch, rng_):
         rngs = {"dropout": jax.random.fold_in(rng_, 0),

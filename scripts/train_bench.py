@@ -66,7 +66,8 @@ def main():
     state = trainer.init_state(micro)
     step = trainer.train_step_fn()
     batch = {k: jnp.asarray(v[None]) for k, v in micro.items()}
-    key = jax.random.PRNGKey(0)
+    from efficientconformer_tpu.training.trainer import train_rng
+    key = train_rng(0)
 
     t0 = time.time()
     state, metrics = step(state, batch, key)

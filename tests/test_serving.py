@@ -183,3 +183,41 @@ def test_transducer_server_matches_single_stream():
     assert set(got) == set(want)
     for sid in want:
         assert got[sid] == want[sid], sid
+
+
+def test_max_windows_per_tick_is_work_conserving():
+    """A capped server produces exactly the uncapped results; every tick runs
+    at most the cap's window steps (the p95 tick-latency bound), with the
+    leftover backlog carried to later ticks."""
+    encode, rng = _setup(seed=5)
+    chunk, look = 9, 2
+    # long enough that each utterance spans several windows (the default
+    # history covers ~24k-sample utterances in one window)
+    lengths = [60000, 45000, 90000]
+    audios = [
+        (rng.standard_normal(n) * 0.1).astype(np.float32) for n in lengths
+    ]
+    want = {
+        f"s{i}": _reference_tokens(encode, a, chunk, look)
+        for i, a in enumerate(audios)
+    }
+
+    srv = StreamingServer(
+        encode, CAUSAL_ENC, num_slots=2, chunk_frames=chunk,
+        lookahead_frames=look, max_windows_per_tick=1,
+    )
+    for i, a in enumerate(audios):
+        srv.submit(f"s{i}")
+        srv.push(f"s{i}", a)       # whole utterance staged: deep backlog
+        srv.end(f"s{i}")
+    ticks = 0
+    while srv.active_streams or srv.queued_streams:
+        out = srv.tick()
+        assert out.windows_run <= 1
+        ticks += 1
+        assert ticks < 200
+    got = srv._results
+    assert set(got) == set(want)
+    for sid in want:
+        assert got[sid] == want[sid], sid
+    assert ticks >= 8  # the cap actually split the backlog across many ticks
