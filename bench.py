@@ -4,8 +4,13 @@ EfficientConformerCTCSmall, real hardware (TPU when available).
 
 Measures end-to-end greedy decoding — raw waveform in, collapsed token ids out,
 frontend + encoder + argmax + collapse all on device — on synthetic 10 s
-utterances at batch 32, the same workload class as the reference's
+utterances at batch 128, the same workload class as the reference's
 ``--mode eval_time`` on LibriSpeech dev-clean (reference model.py:570-625).
+Batch 128 is the measured-best throughput operating point of the round-5
+batch sweep (scripts/infer_sweep.py: 31k/37k/54k RT at b32/b64/b128 — the
+small-batch program is launch-latency-bound, ~6 ms fixed cost per call);
+rounds 1-4 reported b32, so cross-round comparisons should use the b32 row
+in BENCH_DETAILS.md.
 
 Metric: real-time factor per chip (audio-seconds processed per wall-second).
 ``vs_baseline`` is MEASURED: the reference PyTorch implementation
@@ -26,7 +31,7 @@ import time
 
 import numpy as np
 
-BATCH = 32
+BATCH = 128
 SECONDS = 10.0
 WARMUP = 3
 ITERS = 20

@@ -88,13 +88,20 @@ def _factorize_on(structurally_ok: bool) -> bool:
     return os.environ.get("ECF_REL_FACTORIZE") not in ("0", "false", "off")
 
 
-def _use_fused_relpos(nq: int, nk: int, dh: int, hd2: int) -> bool:
+def _use_fused_relpos(nq: int, nk: int, dh: int, hd2: int,
+                      training: bool = True) -> bool:
     """Dispatch policy for the fused factorized rel-pos kernel
     (ops/pallas_rel_attention.py). Default: on TPU whenever the single-block
     kernel fits VMEM — measured faster than the augmented-feature XLA path at
     every shipped training size (see BENCH_DETAILS.md); the kernel keeps the
     A/C features and the (N, N) score/probability tensors out of HBM in both
-    directions. ECF_FUSED_RELPOS=0/1 overrides for A/B."""
+    directions.
+
+    At INFERENCE (no dropout rng) the backward-pass savings don't exist and
+    the crossover moves: measured on v5e (scripts/infer_sweep.py --ab, CTC
+    Small greedy), the kernel is -3..0% at 10 s audio (stage-1 N=250) and
+    +5..13% at 16 s (N=400), so auto additionally requires nq >= 320 there.
+    ECF_FUSED_RELPOS=0/1 overrides for A/B."""
     import os
 
     env = os.environ.get("ECF_FUSED_RELPOS")
@@ -103,6 +110,8 @@ def _use_fused_relpos(nq: int, nk: int, dh: int, hd2: int) -> bool:
     import jax
 
     if jax.default_backend() != "tpu":
+        return False
+    if not training and nq < 320:
         return False
     from efficientconformer_tpu.ops import pallas_rel_attention as PRA
 
@@ -278,7 +287,8 @@ class MultiHeadSelfAttention(nn.Module):
                         if mask_p is not None else None
                     )
                     hdp = _lane_half(d)
-                    if _use_fused_relpos(nq_, nk_, dh, 2 * hdp):
+                    if _use_fused_relpos(nq_, nk_, dh, 2 * hdp,
+                                         training=self.has_rng("dropout")):
                         # fused kernel: per-head folded weights + bias delta
                         # in, P/Q accumulators and the rel bias formed in
                         # VMEM — no per-token rel tensor in HBM at all.
@@ -461,7 +471,8 @@ class MultiHeadSelfAttention(nn.Module):
                 bias = mask * A.NEG_INF if mask is not None else None
                 nq_, nk_ = qu.shape[2], kh.shape[2]
                 hdp = _lane_half(d)
-                if _use_fused_relpos(nq_, nk_, dh, 2 * hdp):
+                if _use_fused_relpos(nq_, nk_, dh, 2 * hdp,
+                                     training=self.has_rng("dropout")):
                     # per-head folded weights + bias delta in; qv = qu +
                     # delta with delta = split_heads(vbias - u)
                     from efficientconformer_tpu.ops import (

@@ -62,6 +62,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="configs/EfficientConformerCTCSmall.json")
     ap.add_argument("--ckpt", default=None, help="reference torch ckpt to import")
+    ap.add_argument("--native-ckpt", default=None,
+                    help="checkpoint saved by this framework (e.g. "
+                         "scripts/overfit_ckpt.py) — the TRAINED-regime run")
     ap.add_argument("--utts", type=int, default=8)
     ap.add_argument("--seconds", type=int, default=12)
     ap.add_argument("--chunk", type=int, default=16, help="chunk (output frames)")
@@ -101,6 +104,15 @@ def main():
         variables = torch_compat.load_reference_checkpoint(
             args.ckpt, variables, cfg
         )
+    elif args.native_ckpt:
+        from efficientconformer_tpu.training import checkpoint
+
+        template = {"params": variables["params"],
+                    "batch_stats": variables.get("batch_stats", {}),
+                    "opt_state": None, "step": jnp.zeros((), jnp.int32)}
+        data = checkpoint._restore(args.native_ckpt, template)
+        variables = {"params": data["params"],
+                     "batch_stats": data["batch_stats"]}
     encode = jax.jit(lambda a, l: model.apply(variables, a, l, False))
 
     # ---- truth: padded batch greedy decode (the bucketed-loader pipeline)
@@ -119,7 +131,8 @@ def main():
     n_truth = sum(len(s) for s in truth)
     print(f"# {args.config}: {b} x {args.seconds}s utts, "
           f"{sum(caps)} valid frames, {n_truth} truth tokens "
-          f"(weights: {'ckpt' if args.ckpt else 'random-init seed 0'})")
+          f"(weights: "
+          f"{'ckpt' if args.ckpt or args.native_ckpt else 'random-init seed 0'})")
     assert n_truth >= 10 * b, "degenerate decode; raise input structure"
 
     frames_truth = np.asarray(preds)
