@@ -158,22 +158,25 @@ class TransducerGreedyDecoder:
         self._host_toks = None
         self._dirty = False  # any window step launched since last collect()?
 
-        def _row_reset(state, template, i):
+        def _rows_reset(state, template, mask):
+            # mask: (num_slots,) bool — True rows revert to the template.
+            # One select per leaf for ANY subset of slots: a generation
+            # boundary resets all its fresh slots in a single device call
+            # instead of num_slots sequential row writes.
             def upd(s, t):
                 # the batch axis is the one sized num_slots (decoder carries
                 # may be (L, B, H) LSTM states with B not leading)
                 for axis in range(s.ndim):
                     if s.shape[axis] == b:
-                        row = jax.lax.dynamic_slice_in_dim(t, 0, 1, axis)
-                        return jax.lax.dynamic_update_slice_in_dim(
-                            s, row, i, axis
-                        )
+                        shape = [1] * s.ndim
+                        shape[axis] = b
+                        return jnp.where(mask.reshape(shape), t, s)
                 raise ValueError(f"no batch axis in {s.shape}")
 
             return jax.tree.map(upd, state, template)
 
         self._template = jax.tree.map(jnp.copy, self._state)
-        self._row_reset = jax.jit(_row_reset)
+        self._rows_reset = jax.jit(_rows_reset)
 
     @staticmethod
     def device_post(frames):
@@ -225,12 +228,19 @@ class TransducerGreedyDecoder:
         return [int(t) for t in np.asarray(self._state["tokens"][i, :n])]
 
     def reset(self, i: int):
-        self._state = self._row_reset(
-            self._state, self._template, jnp.int32(i)
+        self.reset_many([i])
+
+    def reset_many(self, idxs: List[int]):
+        b = self._state["n_tok"].shape[0]
+        mask = np.zeros(b, bool)
+        mask[idxs] = True
+        self._state = self._rows_reset(
+            self._state, self._template, jnp.asarray(mask)
         )
-        self._n_prev[i] = 0
-        if self._host_n is not None:
-            self._host_n[i] = 0  # keep the finalize cache row consistent
+        for i in idxs:
+            self._n_prev[i] = 0
+            if self._host_n is not None:
+                self._host_n[i] = 0  # keep the finalize cache row consistent
 
 
 # ---------------------------------------------------------------------------
@@ -314,11 +324,14 @@ class StreamingServer:
             return buf2, post(frames)
 
         self._step = jax.jit(_step)
-        self._place = jax.jit(
-            lambda buf, row, i: jax.lax.dynamic_update_slice(
-                buf, row[None, :], (i, 0)
-            )
-        )
+        # Batched fresh-window upload: ONE scatter per tick for however many
+        # slots were admitted, instead of one dynamic_update_slice launch per
+        # slot (64 sequential ~6 ms launches at a generation boundary on the
+        # tunnelled backend — the measured tick-p95 tail). The row count is
+        # padded to the next power of two by repeating the first (row, idx)
+        # pair — duplicate scatter indices carrying identical values are
+        # order-independent — so at most log2(num_slots)+1 programs compile.
+        self._place_many = jax.jit(lambda buf, rows, idxs: buf.at[idxs].set(rows))
 
     # ------------------------------------------------------------- client API
 
@@ -369,6 +382,7 @@ class StreamingServer:
         raise KeyError(f"unknown stream {stream_id!r}")
 
     def _admit(self):
+        admitted = []
         for i, s in enumerate(self._slots):
             if not self._queue:
                 break
@@ -377,6 +391,14 @@ class StreamingServer:
                 slot = self._pending.pop(sid)
                 self._slots[i] = slot
                 self._by_id[sid] = i
+                admitted.append(i)
+        if not admitted:
+            return
+        reset_many = getattr(self._decoder, "reset_many", None)
+        if reset_many is not None:
+            reset_many(admitted)
+        else:
+            for i in admitted:
                 self._decoder.reset(i)
 
     def _base(self, slot: _Slot) -> int:
@@ -422,15 +444,25 @@ class StreamingServer:
                 self._finish_slot(i, out)
         self._admit()
 
-        # fresh slots: upload the first full window row-by-row
+        # fresh slots: upload every first window in ONE batched scatter
+        fresh_idx: List[int] = []
+        fresh_rows: List[np.ndarray] = []
         for i, s in enumerate(self._slots):
             if s.state != IDLE and not s.placed and self._runnable(s):
-                window = self._take_staged(s, self.window_samples)
-                self._buf = self._place(
-                    self._buf, jnp.asarray(window), jnp.int32(i)
-                )
+                fresh_idx.append(i)
+                fresh_rows.append(self._take_staged(s, self.window_samples))
                 s.uploaded = self.window_samples
                 s.placed = True
+        if fresh_idx:
+            k = 1
+            while k < len(fresh_idx):
+                k *= 2
+            pad = k - len(fresh_idx)
+            idxs = np.asarray(fresh_idx + [fresh_idx[0]] * pad, np.int32)
+            rows = np.stack(fresh_rows + [fresh_rows[0]] * pad)
+            self._buf = self._place_many(
+                self._buf, jnp.asarray(rows), jnp.asarray(idxs)
+            )
 
         while True:
             if (

@@ -40,9 +40,17 @@ def main():
                          "and the on-device greedy decode state pool")
     args = ap.parse_args()
 
+    import os
+
     import numpy as np
     import jax
     import jax.numpy as jnp
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from efficientconformer_tpu.config import load_config
     from efficientconformer_tpu.serving import StreamingServer

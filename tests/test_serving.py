@@ -221,3 +221,40 @@ def test_max_windows_per_tick_is_work_conserving():
     for sid in want:
         assert got[sid] == want[sid], sid
     assert ticks >= 8  # the cap actually split the backlog across many ticks
+
+
+def test_generation_boundary_churn_batched_admission():
+    """All slots finish in the same tick and a full new generation is
+    admitted at once — the batched fresh-window scatter (including its
+    power-of-two padding: 3 fresh rows pad to 4) and multi-row decoder
+    reset must produce exactly the single-stream tokens for every stream."""
+    encode, rng = _setup(seed=7)
+    chunk, look = 9, 2
+
+    n_slots, n_streams = 3, 9  # 3 generations, each admitting 3 at once
+    lengths = [21000, 21000, 21000, 16000, 24000, 19000, 9000, 31000, 21000]
+    audios = [
+        (rng.standard_normal(n) * 0.1).astype(np.float32) for n in lengths
+    ]
+    want = {
+        f"g{i}": _reference_tokens(encode, a, chunk, look)
+        for i, a in enumerate(audios)
+    }
+
+    srv = StreamingServer(
+        encode, CAUSAL_ENC, num_slots=n_slots, chunk_frames=chunk,
+        lookahead_frames=look,
+    )
+    # saturated offline pushes: every stream fully staged up-front, so each
+    # generation's admissions land in one tick together
+    for i, a in enumerate(audios):
+        sid = f"g{i}"
+        srv.submit(sid)
+        srv.push(sid, a)
+        srv.end(sid)
+
+    while srv.active_streams or srv.queued_streams:
+        srv.tick()
+
+    for sid in want:
+        assert srv.result(sid) == want[sid], sid
